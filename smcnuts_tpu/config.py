@@ -1,0 +1,54 @@
+"""Typed run configuration.
+
+Replaces the reference's module-level constants and magic-string dispatch
+(reference experiments/run_experiments.py:38-47, smcnuts/samples/samples.py:39-60)
+with one frozen dataclass. The three L-kernel strategy names are kept verbatim
+for parity scripting. Everything here is static at trace time: strategy
+selection compiles to different fused programs, not runtime branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+LKERNELS = ("asymptoticLKernel", "forwardsLKernel", "GaussianApproxLKernel")
+RESAMPLERS = ("multinomial", "systematic")
+
+
+@dataclasses.dataclass(frozen=True)
+class SMCConfig:
+    n_particles: int
+    n_iterations: int
+    step_size: float
+    lkernel: str = "forwardsLKernel"
+    tempering: bool = False
+    resampling: str = "multinomial"  # reference parity; "systematic" available
+    max_tree_depth: int = 10  # doublings 0..max_depth (reference nuts.py:4)
+    ess_threshold_frac: float = 0.5  # resample when ESS < N/2 (samples.py:120)
+    tempering_alpha: float = 0.5  # ESS target fraction (samples.py:52)
+    save_history: bool = True  # keep x/logw per iteration (needed for the
+    # asymptotic post-pass estimator; disable for large-N memory savings)
+    adapt_step_size: bool = False  # dual-averaging step-size adaptation
+    adapt_mass_matrix: bool = False  # diagonal mass matrix from particle var
+    target_accept: float = 0.8  # dual-averaging target acceptance
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.lkernel not in LKERNELS:
+            raise ValueError(
+                f"Unknown L-kernel '{self.lkernel}'; expected one of {LKERNELS}"
+            )
+        if self.resampling not in RESAMPLERS:
+            raise ValueError(
+                f"Unknown resampling scheme '{self.resampling}'; "
+                f"expected one of {RESAMPLERS}"
+            )
+        if self.lkernel == "asymptoticLKernel" and not self.save_history:
+            raise ValueError(
+                "asymptoticLKernel requires save_history=True (the tempered "
+                "post-pass estimator re-reads the full particle history)"
+            )
+
+    @property
+    def is_asymptotic(self) -> bool:
+        return self.lkernel == "asymptoticLKernel"

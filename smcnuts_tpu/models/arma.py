@@ -1,0 +1,100 @@
+"""ARMA(1,1) time-series model, TPU-native.
+
+Re-expresses the reference's Stan model (reference stan_models/arma/arma.stan)
+as jittable tempered log-density functions. Unconstrained parameters
+theta = [mu, beta, theta_ma, log_sigma]; sigma = exp(log_sigma) with the +log_sigma
+Jacobian folded into the prior (Stan's <lower=0> transform).
+
+Priors (arma.stan:18-21): mu ~ N(0,10), beta ~ N(0,2), theta ~ N(0,2),
+sigma ~ Cauchy(0, 2.5). Likelihood (arma.stan:23-30): one-step-ahead
+prediction errors err_t with err_1 = y_1 - (mu + beta*mu) and
+err_t = y_t - (mu + beta*y_{t-1} + theta*err_{t-1}); err_t ~ N(0, sigma),
+scaled by the tempering parameter phi.
+
+TPU-first design note: the error recurrence err_t = a*err_{t-1} + b_t with
+constant a = -theta is a first-order linear recurrence, evaluated with
+`lax.associative_scan` in O(log T) depth instead of the reference's O(T)
+sequential loop — the whole likelihood is then a handful of fused VPU ops
+over the (batched) T axis.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .base import Model, cauchy_lpdf, normal_lpdf
+
+_ASSET = os.path.join(os.path.dirname(__file__), "..", "assets", "arma.npz")
+
+
+def _linear_recurrence(a, b, init):
+    """Solve e_t = a * e_{t-1} + b_t (t = 1..T-1) given e_0 = init.
+
+    a: scalar; b: (T-1,); returns (T,) full error sequence.
+    Uses an associative scan over affine maps (A, B) composed as
+    (A2*A1, A2*B1 + B2), giving e_t = A_t * e_0 + B_t.
+    """
+    A = jnp.full(b.shape, a)
+
+    def combine(c1, c2):
+        A1, B1 = c1
+        A2, B2 = c2
+        return A2 * A1, A2 * B1 + B2
+
+    A_cum, B_cum = lax.associative_scan(combine, (A, b))
+    rest = A_cum * init + B_cum
+    return jnp.concatenate([jnp.asarray(init)[None], rest])
+
+
+def make_arma(y=None) -> Model:
+    """Build the ARMA(1,1) model. `y` defaults to the imported reference data."""
+    if y is None:
+        data = np.load(_ASSET)
+        y = np.asarray(data["y"], dtype=np.float64)
+    y = jnp.asarray(y)
+    y_prev = y[:-1]
+
+    def logprior(theta):
+        mu, beta, th, log_sigma = theta[0], theta[1], theta[2], theta[3]
+        sigma = jnp.exp(log_sigma)
+        lp = normal_lpdf(mu, 0.0, 10.0)
+        lp += normal_lpdf(beta, 0.0, 2.0)
+        lp += normal_lpdf(th, 0.0, 2.0)
+        lp += cauchy_lpdf(sigma, 0.0, 2.5)
+        lp += log_sigma  # Jacobian of sigma = exp(log_sigma)
+        return lp
+
+    def loglik(theta):
+        mu, beta, th, log_sigma = theta[0], theta[1], theta[2], theta[3]
+        sigma = jnp.exp(log_sigma)
+        err0 = y[0] - (mu + beta * mu)
+        b = y[1:] - mu - beta * y_prev
+        err = _linear_recurrence(-th, b, err0)
+        return jnp.sum(normal_lpdf(err, 0.0, sigma))
+
+    def constrain(theta):
+        return jnp.stack([theta[0], theta[1], theta[2], jnp.exp(theta[3])])
+
+    return Model(
+        name="arma",
+        dim=4,
+        constrained_dim=4,
+        param_names=("mu", "beta", "theta", "sigma"),
+        logprior=logprior,
+        loglik=loglik,
+        constrain=constrain,
+    )
+
+
+def ground_truth():
+    """Posterior mean/var from the reference's long Stan run (arma.params)."""
+    data = np.load(_ASSET)
+    return np.asarray(data["gt_mean"]), np.asarray(data["gt_var"])
+
+
+def default_step_size() -> float:
+    return float(np.load(_ASSET)["step_size"])

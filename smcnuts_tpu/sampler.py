@@ -1,0 +1,377 @@
+"""SMC sampler orchestration: one jitted program for the whole run.
+
+Functional redesign of the reference's SMCSampler/Samples object graph
+(reference smcnuts/smc_sampler.py:101-155, smcnuts/samples/samples.py). The
+mutable per-iteration state collapses to an immutable pytree scanned K times
+by `lax.scan`; strategy variation (three L-kernels, tempering on/off,
+resampling scheme, adaptation) is resolved at trace time from SMCConfig.
+
+Per-iteration ordering preserved from the reference main loop
+(smc_sampler.py:109-140, see SURVEY.md §3.2):
+
+    1. record phi used this iteration
+    2. normalise weights (masked logsumexp) -> wn, running log-likelihood
+    3. estimates at index k from the *entering* weights
+    4. ESS; 5. resample if ESS < N/2 (before the proposal)
+    6. NUTS proposal at temperature phi (+ accept-reject for asymptotic)
+    7. next temperature from x_new via ESS bisection
+    8. reweight (asymptotic: tempered increment on pre-proposal x;
+       non-asymptotic: target ratio + L-kernel - momentum density)
+    9. acceptance metric = fraction of particles with ALL dims changed
+       (smc_sampler.py:97 quirk preserved)
+   10. state update; history snapshot
+
+Diagnostics quirks preserved: index K acceptance is 0 (after the final state
+update x is x_new, smc_sampler.py:97 compares an array with itself); phi[K] is
+the temperature computed by the last iteration; the asymptotic strategy
+overwrites ALL estimates with the tempered-recycling post-pass
+(smc_sampler.py:152-153).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SMCConfig
+from .models.base import Model
+from .ops.adaptation import (
+    da_init,
+    da_update,
+    mass_matrix_from_particles,
+)
+from .ops.lkernels import forward_lkernel_logpdf, gaussian_lkernel_logpdf
+from .ops.moments import estimate as constrained_estimate
+from .ops.nuts import hmc_accept_reject, nuts_batch
+from .ops.resampling import multinomial_ancestors, resample_if_required
+from .ops.tempering import next_temperature
+from .ops.weights import ess as compute_ess
+from .ops.weights import normalise_weights
+from .proposals import DiagNormalProposal
+
+
+class SMCCarry(NamedTuple):
+    x: jax.Array  # (N, D) unconstrained positions
+    logw: jax.Array  # (N,) log weights
+    phi: jax.Array  # temperature for the next proposal
+    step_size: jax.Array
+    inv_mass: jax.Array  # (D,) diagonal inverse mass
+    da: tuple  # dual-averaging state
+    key: jax.Array
+
+
+class SMCResult(NamedTuple):
+    """Per-iteration diagnostic time series, length K+1, mirroring the
+    reference's output attributes (smc_sampler.py:66-85)."""
+
+    mean_estimate: jax.Array  # (K+1, CD)
+    variance_estimate: jax.Array  # (K+1, CD)
+    ess: jax.Array  # (K+1,)
+    log_likelihood: jax.Array  # (K+1,)
+    phi: jax.Array  # (K+1,)
+    acceptance_rate: jax.Array  # (K+1,)
+    resampled: jax.Array  # (K+1,) bool
+    step_size: jax.Array  # (K+1,)
+    x_saved: jax.Array | None  # (K+1, N, D) if cfg.save_history
+    logw_saved: jax.Array | None  # (K+1, N)
+    x_final: jax.Array  # (N, D)
+    logw_final: jax.Array  # (N,)
+
+
+def _acceptance_metric(x_new, x_old):
+    """Fraction of particles whose position changed in EVERY dimension
+    (reference smc_sampler.py:97)."""
+    changed = jnp.all(x_new != x_old, axis=1)
+    return jnp.mean(changed.astype(x_new.dtype))
+
+
+def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
+    n = cfg.n_particles
+
+    def step(carry: SMCCarry, _):
+        key, k_res, k_mom, k_nuts, k_acc = jax.random.split(carry.key, 5)
+        phi = carry.phi
+
+        # 2-4: normalise, estimate, ESS (entering weights).
+        wn, log_likelihood = normalise_weights(carry.logw)
+        mean_k, var_k = constrained_estimate(model, carry.x, wn)
+        ess_k = compute_ess(wn)
+
+        # 5: threshold-triggered resampling, before the proposal.
+        x_r, logw_r, did_resample = resample_if_required(
+            k_res, carry.x, carry.logw, wn, log_likelihood, ess_k,
+            cfg.ess_threshold_frac, cfg.resampling,
+        )
+
+        # 6: NUTS proposal at temperature phi.
+        r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
+        logp_vg = lambda theta: jax.value_and_grad(
+            lambda t: model.logp(t, phi)
+        )(theta)
+        nuts_keys = jax.random.split(k_nuts, n)
+        x_new, r_new, tree_stats = nuts_batch(
+            logp_vg, x_r, r, nuts_keys, carry.step_size,
+            inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
+        )
+
+        if cfg.is_asymptotic:
+            # Accept-reject epilogue makes the forward kernel pi_phi-invariant
+            # (reference nuts_acc_rej.py:42-49).
+            logp_b = lambda xx: model.logp_batch(xx, phi)
+            x_new, r_new, _ = hmc_accept_reject(
+                logp_b, x_r, x_new, r, r_new, k_acc, inv_mass=carry.inv_mass
+            )
+
+        # 7: next temperature from the proposed positions.
+        if cfg.tempering:
+            loglik_new = model.loglik_batch(x_new)
+            phi_next = next_temperature(
+                loglik_new, phi, n, alpha=cfg.tempering_alpha
+            )
+        else:
+            phi_next = jnp.asarray(1.0, carry.x.dtype)
+
+        # 8: reweight.
+        if cfg.is_asymptotic:
+            # Position move carries no weight change (pi-invariant kernel);
+            # only the temperature increment on the PRE-proposal positions
+            # (reference samples.py:169-180).
+            logw_new = logw_r + (phi_next - phi) * model.loglik_batch(x_r)
+        else:
+            # Non-tempered path evaluates the target at phi=1
+            # (reference samples.py:183-196).
+            if cfg.lkernel == "forwardsLKernel":
+                lk = forward_lkernel_logpdf(momentum_proposal.logpdf, r_new)
+            else:
+                lk = gaussian_lkernel_logpdf(r_new, x_new)
+            logw_new = (
+                logw_r
+                + model.logp_batch(x_new, 1.0)
+                - model.logp_batch(x_r, 1.0)
+                + lk
+                - momentum_proposal.logpdf(r)
+            )
+
+        # 9: acceptance metric (post-resample pre-proposal vs proposed).
+        acceptance = _acceptance_metric(x_new, x_r)
+
+        # Adaptation (native feature; off by default for reference parity).
+        step_size = carry.step_size
+        da = carry.da
+        if cfg.adapt_step_size:
+            da = da_update(da, tree_stats["accept_stat"].mean(),
+                           target=cfg.target_accept)
+            step_size = jnp.exp(da.log_step)
+        inv_mass = carry.inv_mass
+        if cfg.adapt_mass_matrix:
+            wn_new, _ = normalise_weights(logw_new)
+            inv_mass = mass_matrix_from_particles(x_new, wn_new)
+
+        out = {
+            "phi": phi,
+            "log_likelihood": log_likelihood,
+            "ess": ess_k,
+            "mean": mean_k,
+            "var": var_k,
+            "acceptance": acceptance,
+            "resampled": did_resample,
+            "step_size": step_size,
+        }
+        if cfg.save_history:
+            out["x_hist"] = x_new
+            out["logw_hist"] = logw_new
+
+        if mesh is not None:
+            from .parallel.sharding import constrain_particles
+
+            x_new = constrain_particles(x_new, mesh)
+            logw_new = constrain_particles(logw_new, mesh)
+        new_carry = SMCCarry(
+            x=x_new, logw=logw_new, phi=phi_next,
+            step_size=step_size, inv_mass=inv_mass, da=da, key=key,
+        )
+        return new_carry, out
+
+    return step
+
+
+def _estimate_from_tempered(model: Model, cfg: SMCConfig, key, x_saved,
+                            logw_saved, phi):
+    """Tempered-recycling post-pass for the asymptotic strategy (reference
+    smcnuts/estimate/estimate_from_tempered.py:24-55), vmapped over the K+1
+    saved iterations: fresh multinomial resample by the saved weights, then
+    importance-correct from pi_{phi_k} to pi via (1 - phi_k) * loglik."""
+    n = cfg.n_particles
+    keys = jax.random.split(key, phi.shape[0])
+
+    def one(k_key, x_k, logw_k, phi_k):
+        wn, _ = normalise_weights(logw_k)
+        ancestors = multinomial_ancestors(k_key, wn)
+        x = jnp.take(x_k, ancestors, axis=0)
+        logw_corr = (1.0 - phi_k) * model.loglik_batch(x)
+        wn_corr, _ = normalise_weights(logw_corr)
+        return constrained_estimate(model, x, wn_corr)
+
+    return jax.vmap(one)(keys, x_saved, logw_saved, phi)
+
+
+def run_smc(model: Model, cfg: SMCConfig, key, sample_proposal=None,
+            momentum_proposal=None, initial_step_size=None,
+            mesh=None) -> SMCResult:
+    """Run the full SMC sampler as one traced program.
+
+    This function is pure and jittable; `SMCSampler` wraps it with jit and a
+    reference-shaped API. The initialisation follows reference
+    samples.py:63-88: draw from the sample proposal, run a FULL ESS bisection
+    on the prior draws with phi_old = 0 when tempering (samples.py:82), then
+    logw_0 = logp(x, phi_0) - q0(x).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    n, k_iters = cfg.n_particles, cfg.n_iterations
+    if sample_proposal is None:
+        sample_proposal = DiagNormalProposal(model.dim)
+    if momentum_proposal is None:
+        momentum_proposal = DiagNormalProposal(model.dim)
+
+    key, k_init, k_post = jax.random.split(key, 3)
+    x0 = sample_proposal.rvs(k_init, n, dtype=dtype)
+    if mesh is not None:
+        from .parallel.sharding import constrain_particles
+
+        x0 = constrain_particles(x0, mesh)
+
+    if cfg.tempering:
+        phi0 = next_temperature(
+            model.loglik_batch(x0), jnp.asarray(0.0, dtype), n,
+            alpha=cfg.tempering_alpha,
+        )
+    else:
+        phi0 = jnp.asarray(1.0, dtype)
+
+    logw0 = model.logp_batch(x0, phi0) - sample_proposal.logpdf(x0)
+
+    step_size0 = jnp.asarray(
+        cfg.step_size if initial_step_size is None else initial_step_size,
+        dtype,
+    )
+    carry0 = SMCCarry(
+        x=x0,
+        logw=logw0.astype(dtype),
+        phi=phi0,
+        step_size=step_size0,
+        inv_mass=jnp.ones((model.dim,), dtype),
+        da=da_init(step_size0, dtype),
+        key=key,
+    )
+
+    step = _make_step(model, cfg, momentum_proposal, mesh=mesh)
+    carry, outs = jax.lax.scan(step, carry0, None, length=k_iters)
+
+    # Final half-iteration: normalise and estimate at index K
+    # (smc_sampler.py:143-149).
+    wn_f, loglik_f = normalise_weights(carry.logw)
+    mean_f, var_f = constrained_estimate(model, carry.x, wn_f)
+    ess_f = compute_ess(wn_f)
+
+    def cat(seq, last):
+        return jnp.concatenate([seq, jnp.asarray(last)[None]], axis=0)
+
+    mean_est = cat(outs["mean"], mean_f)
+    var_est = cat(outs["var"], var_f)
+    ess_series = cat(outs["ess"], ess_f)
+    ll_series = cat(outs["log_likelihood"], loglik_f)
+    phi_series = cat(outs["phi"], carry.phi)
+    accept_series = cat(outs["acceptance"], jnp.asarray(0.0, dtype))
+    resampled = cat(outs["resampled"], jnp.asarray(False))
+    step_series = cat(outs["step_size"], carry.step_size)
+
+    x_saved = logw_saved = None
+    if cfg.save_history:
+        x_saved = jnp.concatenate([x0[None], outs["x_hist"]], axis=0)
+        logw_saved = jnp.concatenate([logw0[None], outs["logw_hist"]], axis=0)
+
+    if cfg.is_asymptotic:
+        mean_est, var_est = _estimate_from_tempered(
+            model, cfg, k_post, x_saved, logw_saved, phi_series
+        )
+
+    return SMCResult(
+        mean_estimate=mean_est,
+        variance_estimate=var_est,
+        ess=ess_series,
+        log_likelihood=ll_series,
+        phi=phi_series,
+        acceptance_rate=accept_series,
+        resampled=resampled,
+        step_size=step_series,
+        x_saved=x_saved,
+        logw_saved=logw_saved,
+        x_final=carry.x,
+        logw_final=carry.logw,
+    )
+
+
+class SMCSampler:
+    """Reference-shaped API over the functional core (reference
+    smc_sampler.py:25-36: SMCSampler(K, N, target, step_size, sample_proposal,
+    momentum_proposal, lkernel, tempering, rng).sample() then read attributes).
+    """
+
+    def __init__(self, K, N, target, step_size, sample_proposal=None,
+                 momentum_proposal=None, lkernel="forwardsLKernel",
+                 tempering=False, seed=0, config: SMCConfig | None = None,
+                 mesh=None):
+        if config is None:
+            config = SMCConfig(
+                n_particles=N, n_iterations=K, step_size=step_size,
+                lkernel=lkernel, tempering=tempering,
+            )
+        self.cfg = config
+        self.target = target
+        self.K, self.N = config.n_iterations, config.n_particles
+        self.seed = seed
+        self.mesh = mesh
+        self._sample_proposal = sample_proposal
+        self._momentum_proposal = momentum_proposal
+        self._fn = jax.jit(
+            partial(
+                run_smc, target, config,
+                sample_proposal=sample_proposal,
+                momentum_proposal=momentum_proposal,
+                mesh=mesh,
+            )
+        )
+        self.result: SMCResult | None = None
+        self.run_time = None
+
+    def sample(self, seed=None, show_progress=False) -> SMCResult:
+        del show_progress  # whole run is one XLA program; no per-k callback
+        key = jax.random.key(self.seed if seed is None else seed)
+        if self.mesh is not None:
+            from .parallel.sharding import shard_key
+
+            key = shard_key(key, self.mesh)
+        start = time.time()
+        result = self._fn(key)
+        result = jax.tree.map(
+            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+            result,
+        )
+        self.run_time = time.time() - start
+        self.result = result
+        # Reference-compatible attributes (smc_sampler.py:66-85).
+        self.mean_estimate = np.asarray(result.mean_estimate)
+        self.variance_estimate = np.asarray(result.variance_estimate)
+        self.ess = np.asarray(result.ess)
+        self.log_likelihood = np.asarray(result.log_likelihood)
+        self.phi = np.asarray(result.phi)
+        self.acceptance_rate = np.asarray(result.acceptance_rate)
+        if result.x_saved is not None:
+            self.x_saved = np.asarray(result.x_saved)
+            self.logw_saved = np.asarray(result.logw_saved)
+        return result
