@@ -1,0 +1,94 @@
+"""Particle-axis sharding tests on the simulated 8-device CPU mesh.
+
+Asserts (a) a sharded run executes with the particle axis genuinely
+distributed, (b) sharded == unsharded numerically for the same PRNG key (the
+program is deterministic; sharding must not change semantics), and (c) the
+collective-backed ops (masked logsumexp, ESS, resampling gather) agree with
+their single-device results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import make_gaussian
+from smcnuts_tpu.ops import normalise_weights
+from smcnuts_tpu.parallel import (
+    PARTICLE_AXIS,
+    particle_mesh,
+    particle_sharding,
+    weight_sharding,
+)
+
+MEAN = np.array([1.0, -2.0])
+VAR = np.array([0.5, 2.0])
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return particle_mesh()
+
+
+def test_mesh_covers_devices(mesh):
+    assert mesh.shape[PARTICLE_AXIS] == jax.device_count()
+
+
+def test_weight_ops_sharded_equal_unsharded(mesh):
+    rng = np.random.default_rng(0)
+    logw = jnp.asarray(rng.normal(size=256) * 5, jnp.float32)
+    wn_ref, ll_ref = jax.jit(normalise_weights)(logw)
+    logw_sharded = jax.device_put(logw, weight_sharding(mesh))
+    wn_s, ll_s = jax.jit(normalise_weights)(logw_sharded)
+    np.testing.assert_allclose(np.asarray(wn_s), np.asarray(wn_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(ll_s), float(ll_ref), rtol=1e-6)
+
+
+def test_sharded_run_matches_unsharded(mesh):
+    model = make_gaussian(MEAN, VAR)
+    cfg = SMCConfig(n_particles=128, n_iterations=5, step_size=0.5)
+    key = jax.random.key(0)
+    res_plain = run_smc(model, cfg, key)
+    res_shard = jax.jit(
+        lambda k: run_smc(model, cfg, k, mesh=mesh)
+    )(key)
+    np.testing.assert_allclose(
+        np.asarray(res_shard.mean_estimate),
+        np.asarray(res_plain.mean_estimate),
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_shard.ess), np.asarray(res_plain.ess), rtol=5e-3
+    )
+
+
+def test_sharded_final_state_is_distributed(mesh):
+    model = make_gaussian(MEAN, VAR)
+    cfg = SMCConfig(n_particles=128, n_iterations=3, step_size=0.5)
+    res = jax.jit(lambda k: run_smc(model, cfg, k, mesh=mesh))(jax.random.key(1))
+    assert len(res.x_final.addressable_shards) == jax.device_count()
+
+
+def test_gather_across_shards(mesh):
+    """Resampling-style global gather under sharding equals local gather."""
+    n = 64
+    x = jnp.arange(n * 2, dtype=jnp.float32).reshape(n, 2)
+    idx = jnp.asarray(np.random.default_rng(2).integers(0, n, n))
+    expected = np.asarray(jnp.take(x, idx, axis=0))
+    xs = jax.device_put(x, particle_sharding(mesh))
+    idxs = jax.device_put(idx, weight_sharding(mesh))
+    got = jax.jit(lambda a, i: jnp.take(a, i, axis=0))(xs, idxs)
+    np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_tempered_sharded_run(mesh):
+    model = make_gaussian(MEAN, VAR, prior_var=np.ones(2))
+    cfg = SMCConfig(
+        n_particles=128, n_iterations=4, step_size=0.5,
+        lkernel="asymptoticLKernel", tempering=True,
+    )
+    res = jax.jit(lambda k: run_smc(model, cfg, k, mesh=mesh))(jax.random.key(3))
+    assert np.all(np.isfinite(np.asarray(res.mean_estimate)))
+    assert float(res.phi[-1]) == 1.0
