@@ -1,0 +1,90 @@
+"""Headline benchmark: particle-iterations/s/chip on the arma model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
+
+The workload is the BASELINE.json reference config: arma Stan model, N=512
+particles, K=100 SMC iterations, forwards-proposal L-kernel, step size 0.01,
+max tree depth 10. `vs_baseline` is the speedup over the measured serial CPU
+baseline (the reference publishes no numbers — SURVEY.md §6 — so the baseline
+is our reference-faithful serial NumPy implementation, measured at a reduced
+particle count and normalized per particle-iteration; its per-particle cost
+is constant in N since the reference's hot loop is a serial Python for).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+N = 512
+K = 100
+STEP = 0.01
+BASELINE_N = 8
+BASELINE_K = 2
+
+
+def measure_tpu():
+    from smcnuts_tpu import SMCConfig, run_smc
+    from smcnuts_tpu.models import make_arma
+
+    model = make_arma()
+    cfg = SMCConfig(
+        n_particles=N, n_iterations=K, step_size=STEP,
+        lkernel="forwardsLKernel", save_history=False,
+    )
+    f = jax.jit(lambda k: run_smc(model, cfg, k))
+    # Compile + warm up.
+    jax.block_until_ready(f(jax.random.key(0)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jax.random.key(i + 1)))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return N * K / best, best
+
+
+def measure_baseline():
+    from smcnuts_tpu.baselines.numpy_smc import NumpyModelAdapter, run_numpy_smc
+    from smcnuts_tpu.models import make_arma
+
+    adapter = NumpyModelAdapter(make_arma())
+    # Warm the jitted single-particle densities.
+    adapter.logpdf(np.zeros(4), 1.0)
+    adapter.logpdfgrad(np.zeros(4), 1.0)
+    t0 = time.perf_counter()
+    run_numpy_smc(
+        adapter, BASELINE_N, BASELINE_K, STEP,
+        lkernel="forwardsLKernel", tempering=False, seed=0,
+    )
+    elapsed = time.perf_counter() - t0
+    return BASELINE_N * BASELINE_K / elapsed
+
+
+def main():
+    value, best = measure_tpu()
+    print(f"# tpu: N={N} K={K} best={best:.3f}s", file=sys.stderr)
+    try:
+        baseline_rate = measure_baseline()
+        print(f"# baseline: {baseline_rate:.2f} particle-iters/s", file=sys.stderr)
+        vs = value / baseline_rate
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"# baseline failed: {e}", file=sys.stderr)
+        vs = None
+    print(
+        json.dumps(
+            {
+                "metric": "particle_iterations_per_s_chip_arma",
+                "value": round(value, 1),
+                "unit": "particle-iterations/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

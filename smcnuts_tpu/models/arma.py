@@ -91,9 +91,20 @@ def make_arma(y=None) -> Model:
 
 
 def ground_truth():
-    """Posterior mean/var from the reference's long Stan run (arma.params)."""
+    """Posterior mean and VARIANCE from the reference's long Stan run.
+
+    The reference's arma.params third column is labelled variance by its
+    plotting code (reference experiments/plot_experiments.py:93-99) but is in
+    fact the posterior STANDARD DEVIATION (Stan summary format): an
+    independent long NUTS-MCMC run on this model gives posterior sds
+    (0.0100, 0.0221, 0.0607, 0.0084) matching the stored column
+    (0.0113, 0.0228, 0.0594, 0.0084); the actual posterior variances are two
+    orders of magnitude smaller. We return the column squared as the
+    variance ground truth.
+    """
     data = np.load(_ASSET)
-    return np.asarray(data["gt_mean"]), np.asarray(data["gt_var"])
+    sd = np.asarray(data["gt_var"])
+    return np.asarray(data["gt_mean"]), sd**2
 
 
 def default_step_size() -> float:

@@ -67,8 +67,12 @@ def make_prmwcd(y=None, X=None, q=None) -> Model:
 
 
 def ground_truth():
+    """Posterior mean and VARIANCE from the reference's long Stan run. As for
+    arma, the stored third column is the posterior standard deviation
+    (see arma.ground_truth docstring); we return its square."""
     data = np.load(_ASSET)
-    return np.asarray(data["gt_mean"]), np.asarray(data["gt_var"])
+    sd = np.asarray(data["gt_var"])
+    return np.asarray(data["gt_mean"]), sd**2
 
 
 def default_step_size() -> float:

@@ -1,0 +1,89 @@
+"""Statistical parity against the reference's Stan ground truths.
+
+The reference validates by comparing per-iteration moment estimates against
+.params files from long Stan runs, MC-averaged over repeated runs (reference
+experiments/plot_experiments.py:26-79). Same methodology here, with one
+correction: the .params third column is the posterior STANDARD DEVIATION, not
+the variance (verified by independent long NUTS-MCMC on both models — see
+models/arma.ground_truth), so variance parity is asserted against its square.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import make_arma, make_prmwcd
+from smcnuts_tpu.models.arma import default_step_size, ground_truth as arma_gt
+from smcnuts_tpu.models.prmwcd import ground_truth as prmwcd_gt
+
+
+def _mc_runs(model, cfg, seeds):
+    f = jax.jit(lambda k: run_smc(model, cfg, k))
+    means, variances = [], []
+    for s in seeds:
+        res = f(jax.random.key(s))
+        means.append(np.asarray(res.mean_estimate[-1]))
+        variances.append(np.asarray(res.variance_estimate[-1]))
+    return np.asarray(means), np.asarray(variances)
+
+
+class TestArmaParity:
+    def test_forwards_lkernel(self):
+        model = make_arma()
+        gt_mean, gt_var = arma_gt()
+        cfg = SMCConfig(
+            n_particles=256, n_iterations=20, step_size=default_step_size(),
+            lkernel="forwardsLKernel", save_history=False,
+        )
+        means, variances = _mc_runs(model, cfg, range(3))
+        m, v = means.mean(0), variances.mean(0)
+        gt_sd = np.sqrt(gt_var)
+        # Means within a few posterior sds of truth.
+        np.testing.assert_array_less(np.abs(m - gt_mean), 4 * gt_sd + 1e-3)
+        # Variances within a factor band (MC noise on 2nd moments is large).
+        assert np.all(v > gt_var / 5), (v, gt_var)
+        assert np.all(v < gt_var * 5), (v, gt_var)
+
+    @pytest.mark.slow
+    def test_asymptotic_tempered(self):
+        model = make_arma()
+        gt_mean, gt_var = arma_gt()
+        cfg = SMCConfig(
+            n_particles=256, n_iterations=20, step_size=default_step_size(),
+            lkernel="asymptoticLKernel", tempering=True,
+        )
+        means, variances = _mc_runs(model, cfg, range(3))
+        m, v = means.mean(0), variances.mean(0)
+        np.testing.assert_array_less(np.abs(m - gt_mean), 4 * np.sqrt(gt_var) + 1e-3)
+        assert np.all(v > gt_var / 5) and np.all(v < gt_var * 5)
+
+    @pytest.mark.slow
+    def test_gaussian_lkernel(self):
+        model = make_arma()
+        gt_mean, gt_var = arma_gt()
+        cfg = SMCConfig(
+            n_particles=256, n_iterations=20, step_size=default_step_size(),
+            lkernel="GaussianApproxLKernel", save_history=False,
+        )
+        means, _ = _mc_runs(model, cfg, range(3))
+        np.testing.assert_array_less(
+            np.abs(means.mean(0) - gt_mean), 4 * np.sqrt(gt_var) + 1e-3
+        )
+
+
+class TestPRMwCDParity:
+    @pytest.mark.slow
+    def test_forwards_lkernel(self):
+        model = make_prmwcd()
+        gt_mean, gt_var = prmwcd_gt()
+        cfg = SMCConfig(
+            n_particles=256, n_iterations=25, step_size=0.01,
+            lkernel="forwardsLKernel", save_history=False, max_tree_depth=8,
+        )
+        means, variances = _mc_runs(model, cfg, range(2))
+        m = means.mean(0)
+        gt_sd = np.sqrt(gt_var)
+        np.testing.assert_array_less(np.abs(m - gt_mean), 3 * gt_sd)
+        v = variances.mean(0)
+        assert np.all(v > gt_var / 6) and np.all(v < gt_var * 6), (v, gt_var)
