@@ -1,0 +1,112 @@
+"""Experiment driver: Monte-Carlo runs x three L-kernel strategies.
+
+TPU-native counterpart of the reference driver (reference
+experiments/run_experiments.py): for each MC run, execute the sampler under
+(i) forwards-proposal L-kernel, (ii) Gaussian-approximation L-kernel, and
+(iii) asymptotic L-kernel with adaptive tempering + accept-reject, then save
+the five per-run CSV series the reference's evaluation layer expects
+(mean/var estimates, ESS, phi, acceptance rate) under
+output/<model>/<strategy>/.
+
+Differences by design: a real CLI instead of module constants; per-strategy
+jit-compiled programs reused across all MC runs (compile once, run 25x); the
+"identical random streams across strategies" device is replaced by a shared
+per-run PRNG seed (exact stream replication across strategies is neither
+possible nor meaningful across RNG architectures — parity is statistical,
+SURVEY.md §7).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import get_model
+from smcnuts_tpu.utils.io import save_run_csvs
+
+STRATEGIES = {
+    "forward_lkernel": dict(lkernel="forwardsLKernel", tempering=False),
+    "gaussian_lkernel": dict(lkernel="GaussianApproxLKernel", tempering=False),
+    "asymptotic_lkernel": dict(lkernel="asymptoticLKernel", tempering=True),
+}
+
+
+def default_step_size(model_name):
+    if model_name == "arma":
+        from smcnuts_tpu.models.arma import default_step_size as f
+    else:
+        from smcnuts_tpu.models.prmwcd import default_step_size as f
+    return f()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="arma", help="arma | prmwcd")
+    p.add_argument("--runs", type=int, default=25, help="Monte-Carlo runs")
+    p.add_argument("--particles", "-N", type=int, default=512)
+    p.add_argument("--iterations", "-K", type=int, default=100)
+    p.add_argument("--step-size", type=float, default=None)
+    p.add_argument("--max-tree-depth", type=int, default=10)
+    p.add_argument("--resampling", default="multinomial")
+    p.add_argument(
+        "--strategies", nargs="+", default=list(STRATEGIES),
+        choices=list(STRATEGIES),
+    )
+    p.add_argument("--output", default=None)
+    p.add_argument("--seed0", type=int, default=10, help="run i uses seed0*(i+1)")
+    args = p.parse_args(argv)
+
+    model = get_model(args.model)
+    step_size = args.step_size or default_step_size(args.model)
+    output_dir = args.output or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "output", args.model
+    )
+    os.makedirs(output_dir, exist_ok=True)
+
+    print(f"Model: {args.model}  N={args.particles}  K={args.iterations}  "
+          f"step_size={step_size}  runs={args.runs}")
+    print(f"Devices: {jax.devices()}")
+
+    fns = {}
+    for name in args.strategies:
+        cfg = SMCConfig(
+            n_particles=args.particles, n_iterations=args.iterations,
+            step_size=step_size, resampling=args.resampling,
+            max_tree_depth=args.max_tree_depth, **STRATEGIES[name],
+        )
+        fns[name] = jax.jit(lambda k, m=model, c=cfg: run_smc(m, c, k))
+
+    timings = {name: [] for name in args.strategies}
+    for i in range(args.runs):
+        seed = args.seed0 * (i + 1)
+        for name in args.strategies:
+            t0 = time.time()
+            result = jax.block_until_ready(fns[name](jax.random.key(seed)))
+            dt = time.time() - t0
+            timings[name].append(dt)
+            save_run_csvs(result, name, i, output_dir)
+            print(f"run {i + 1}/{args.runs} {name}: {dt:.3f}s  "
+                  f"phi[0]={float(result.phi[0]):.3f}  "
+                  f"ess[-1]={float(result.ess[-1]):.1f}")
+
+    summary = {
+        name: {
+            "mean_run_s": sum(t[1:]) / max(len(t) - 1, 1),  # skip compile run
+            "particle_iters_per_s": args.particles * args.iterations
+            / (sum(t[1:]) / max(len(t) - 1, 1)) if len(t) > 1 else None,
+        }
+        for name, t in timings.items()
+    }
+    with open(os.path.join(output_dir, "timings.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

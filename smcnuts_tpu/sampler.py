@@ -220,23 +220,19 @@ def _estimate_from_tempered(model: Model, cfg: SMCConfig, key, x_saved,
     return jax.vmap(one)(keys, x_saved, logw_saved, phi)
 
 
-def run_smc(model: Model, cfg: SMCConfig, key, sample_proposal=None,
-            momentum_proposal=None, initial_step_size=None,
-            mesh=None) -> SMCResult:
-    """Run the full SMC sampler as one traced program.
-
-    This function is pure and jittable; `SMCSampler` wraps it with jit and a
-    reference-shaped API. The initialisation follows reference
-    samples.py:63-88: draw from the sample proposal, run a FULL ESS bisection
-    on the prior draws with phi_old = 0 when tempering (samples.py:82), then
+def init_state(model: Model, cfg: SMCConfig, key, sample_proposal=None,
+               initial_step_size=None, mesh=None):
+    """Initialise the SMC state (reference samples.py:63-88): draw from the
+    sample proposal, run a FULL ESS bisection on the prior draws with
+    phi_old = 0 when tempering (samples.py:82), then
     logw_0 = logp(x, phi_0) - q0(x).
+
+    Returns (carry0, k_post) where k_post seeds the asymptotic post-pass.
     """
     dtype = jnp.dtype(cfg.dtype)
-    n, k_iters = cfg.n_particles, cfg.n_iterations
+    n = cfg.n_particles
     if sample_proposal is None:
         sample_proposal = DiagNormalProposal(model.dim)
-    if momentum_proposal is None:
-        momentum_proposal = DiagNormalProposal(model.dim)
 
     key, k_init, k_post = jax.random.split(key, 3)
     x0 = sample_proposal.rvs(k_init, n, dtype=dtype)
@@ -268,12 +264,15 @@ def run_smc(model: Model, cfg: SMCConfig, key, sample_proposal=None,
         da=da_init(step_size0, dtype),
         key=key,
     )
+    return carry0, k_post
 
-    step = _make_step(model, cfg, momentum_proposal, mesh=mesh)
-    carry, outs = jax.lax.scan(step, carry0, None, length=k_iters)
 
-    # Final half-iteration: normalise and estimate at index K
-    # (smc_sampler.py:143-149).
+def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
+             k_post) -> SMCResult:
+    """Assemble the SMCResult from the scan carry/outputs: final
+    half-iteration at index K (smc_sampler.py:143-149) plus the asymptotic
+    tempered-recycling post-pass when configured (smc_sampler.py:152-153)."""
+    dtype = jnp.dtype(cfg.dtype)
     wn_f, loglik_f = normalise_weights(carry.logw)
     mean_f, var_f = constrained_estimate(model, carry.x, wn_f)
     ess_f = compute_ess(wn_f)
@@ -314,6 +313,24 @@ def run_smc(model: Model, cfg: SMCConfig, key, sample_proposal=None,
         x_final=carry.x,
         logw_final=carry.logw,
     )
+
+
+def run_smc(model: Model, cfg: SMCConfig, key, sample_proposal=None,
+            momentum_proposal=None, initial_step_size=None,
+            mesh=None) -> SMCResult:
+    """Run the full SMC sampler as one traced program: init_state, a K-step
+    lax.scan of the SMC iteration, and the finalize epilogue. Pure and
+    jittable; `SMCSampler` wraps it with jit and a reference-shaped API,
+    `runner.ChunkedRunner` re-composes the same pieces with checkpointing."""
+    if momentum_proposal is None:
+        momentum_proposal = DiagNormalProposal(model.dim)
+    carry0, k_post = init_state(
+        model, cfg, key, sample_proposal=sample_proposal,
+        initial_step_size=initial_step_size, mesh=mesh,
+    )
+    step = _make_step(model, cfg, momentum_proposal, mesh=mesh)
+    carry, outs = jax.lax.scan(step, carry0, None, length=cfg.n_iterations)
+    return finalize(model, cfg, carry, outs, carry0.x, carry0.logw, k_post)
 
 
 class SMCSampler:

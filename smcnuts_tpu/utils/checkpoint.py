@@ -1,0 +1,57 @@
+"""Checkpoint / resume for SMC runs.
+
+The reference keeps the full history in memory and loses everything on a
+crash (SURVEY.md §5). The SMC state tuple here is tiny —
+(x[N,D], logw[N], phi, step_size, inv_mass, dual-averaging state, PRNG key) —
+so checkpointing is a single .npz per snapshot plus accumulated diagnostic
+series. Used by runner.ChunkedRunner between jitted chunks of iterations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path: str, carry, k_done: int, diagnostics: dict):
+    """Serialize an SMCCarry + completed-iteration count + diagnostics."""
+    flat, _ = jax.tree.flatten(carry)
+
+    def leaf_np(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(leaf))
+        return np.asarray(leaf)
+
+    payload = {f"carry_{i}": leaf_np(leaf) for i, leaf in enumerate(flat)}
+    payload["k_done"] = np.int64(k_done)
+    for name, arr in diagnostics.items():
+        payload[f"diag_{name}"] = np.asarray(arr)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic: no truncated checkpoints (the reference's
+    # in-place JSON rewrite left a corrupt PRMwCD.json in its own repo)
+
+
+def load_checkpoint(path: str, carry_template):
+    """Restore (carry, k_done, diagnostics) using a template for structure."""
+    data = np.load(path, allow_pickle=False)
+    flat_t, treedef = jax.tree.flatten(carry_template)
+    flat = []
+    for i, leaf in enumerate(flat_t):
+        arr = jnp.asarray(data[f"carry_{i}"])
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            arr = jax.random.wrap_key_data(data[f"carry_{i}"])
+        flat.append(arr)
+    carry = jax.tree.unflatten(treedef, flat)
+    k_done = int(data["k_done"])
+    diagnostics = {
+        k[len("diag_"):]: data[k] for k in data.files if k.startswith("diag_")
+    }
+    return carry, k_done, diagnostics

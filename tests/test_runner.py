@@ -1,0 +1,75 @@
+"""ChunkedRunner: chunked == monolithic for the same key; checkpoint/resume
+reproduces the uninterrupted run exactly."""
+
+import os
+
+import jax
+import numpy as np
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import make_gaussian
+from smcnuts_tpu.runner import ChunkedRunner
+
+MEAN = np.array([1.0, -2.0])
+VAR = np.array([0.5, 2.0])
+
+
+def _cfg(**kw):
+    base = dict(n_particles=64, n_iterations=9, step_size=0.5)
+    base.update(kw)
+    return SMCConfig(**base)
+
+
+def test_chunked_equals_monolithic():
+    model = make_gaussian(MEAN, VAR)
+    cfg = _cfg()
+    key = jax.random.key(0)
+    mono = run_smc(model, cfg, key)
+    chunked = ChunkedRunner(model, cfg, chunk_size=4).run(key)
+    np.testing.assert_allclose(
+        np.asarray(chunked.mean_estimate), np.asarray(mono.mean_estimate),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.x_final), np.asarray(mono.x_final), rtol=1e-6
+    )
+
+
+def test_checkpoint_resume(tmp_path):
+    model = make_gaussian(MEAN, VAR)
+    cfg = _cfg()
+    key = jax.random.key(1)
+    ckpt = os.path.join(tmp_path, "smc.npz")
+
+    full = ChunkedRunner(model, cfg, chunk_size=3).run(key)
+
+    # Simulate a crash after the first chunk: run a 3-iteration config with
+    # checkpointing, then resume with the full config from the same file.
+    partial_cfg = _cfg(n_iterations=3)
+    ChunkedRunner(model, partial_cfg, checkpoint_path=ckpt, chunk_size=3).run(key)
+    assert os.path.exists(ckpt)
+
+    resumed = ChunkedRunner(model, cfg, checkpoint_path=ckpt, chunk_size=3).run(key)
+    np.testing.assert_allclose(
+        np.asarray(resumed.mean_estimate), np.asarray(full.mean_estimate),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.x_final), np.asarray(full.x_final), rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_chunked_asymptotic_with_history(tmp_path):
+    model = make_gaussian(MEAN, VAR, prior_var=np.ones(2))
+    cfg = _cfg(lkernel="asymptoticLKernel", tempering=True)
+    key = jax.random.key(2)
+    mono = run_smc(model, cfg, key)
+    chunked = ChunkedRunner(model, cfg, chunk_size=4).run(key)
+    np.testing.assert_allclose(
+        np.asarray(chunked.phi), np.asarray(mono.phi), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.mean_estimate), np.asarray(mono.mean_estimate),
+        rtol=1e-4, atol=1e-4,
+    )
