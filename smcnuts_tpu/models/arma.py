@@ -50,8 +50,17 @@ def _linear_recurrence(a, b, init):
     return jnp.concatenate([jnp.asarray(init)[None], rest])
 
 
-def make_arma(y=None) -> Model:
-    """Build the ARMA(1,1) model. `y` defaults to the imported reference data."""
+def make_arma(y=None, fused: str | None = None) -> Model:
+    """Build the ARMA(1,1) model. `y` defaults to the imported reference data.
+
+    fused: None (default) leaves gradient computation to jax.value_and_grad —
+    the fastest choice when the whole SMC run compiles to one XLA program and
+    per-kernel launch overhead is high (e.g. remotely-attached chips).
+    "pallas" installs the fused single-pass value+gradient Pallas kernel
+    (ops/arma_fused.py) via custom_vmap — the high-throughput path on
+    directly-attached TPUs at large N. "scan" installs the jnp forward-mode
+    fused path (useful for testing the fused wiring on CPU).
+    """
     if y is None:
         data = np.load(_ASSET)
         y = np.asarray(data["y"], dtype=np.float64)
@@ -79,6 +88,12 @@ def make_arma(y=None) -> Model:
     def constrain(theta):
         return jnp.stack([theta[0], theta[1], theta[2], jnp.exp(theta[3])])
 
+    loglik_vg = None
+    if fused is not None:
+        from ..ops.arma_fused import make_arma_loglik_vg
+
+        loglik_vg = make_arma_loglik_vg(y, backend=fused)
+
     return Model(
         name="arma",
         dim=4,
@@ -87,6 +102,7 @@ def make_arma(y=None) -> Model:
         logprior=logprior,
         loglik=loglik,
         constrain=constrain,
+        loglik_vg=loglik_vg,
     )
 
 

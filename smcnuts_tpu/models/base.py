@@ -50,6 +50,11 @@ class Model:
     logprior: Callable[[jax.Array], jax.Array]
     loglik: Callable[[jax.Array], jax.Array]
     constrain: Callable[[jax.Array], jax.Array]
+    # Optional fused (value, grad) of loglik for a single particle, wrapped in
+    # jax.custom_batching.custom_vmap so vmap dispatches the whole particle
+    # block to one fused kernel (e.g. the Pallas arma kernel). When None, the
+    # sampler differentiates loglik with jax.value_and_grad.
+    loglik_vg: Callable[[jax.Array], tuple] | None = None
 
     def logp(self, theta: jax.Array, phi=1.0) -> jax.Array:
         """Tempered log density at a single unconstrained point."""

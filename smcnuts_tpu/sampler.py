@@ -110,9 +110,20 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
 
         # 6: NUTS proposal at temperature phi.
         r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
-        logp_vg = lambda theta: jax.value_and_grad(
-            lambda t: model.logp(t, phi)
-        )(theta)
+        if model.loglik_vg is not None:
+            # Fused value+gradient kernel (custom_vmap dispatches the whole
+            # particle block); prior handled by autodiff — it is O(D).
+            prior_vg = jax.value_and_grad(model.logprior)
+
+            def logp_vg(theta):
+                pv, pg = prior_vg(theta)
+                lv, lg = model.loglik_vg(theta)
+                return pv + phi * lv, pg + phi * lg
+
+        else:
+            logp_vg = lambda theta: jax.value_and_grad(
+                lambda t: model.logp(t, phi)
+            )(theta)
         nuts_keys = jax.random.split(k_nuts, n)
         x_new, r_new, tree_stats = nuts_batch(
             logp_vg, x_r, r, nuts_keys, carry.step_size,
