@@ -51,6 +51,7 @@ class _SubtreeState(NamedTuple):
     leaf: jax.Array  # next leaf index within this subtree
     x_prop: jax.Array
     r_prop: jax.Array
+    logp_prop: jax.Array  # target logp at the running proposal leaf
     n_valid: jax.Array
     stop: jax.Array  # divergence or internal U-turn seen
     ckpt_x: jax.Array  # (max_depth+1, D) left endpoints of open subtrees
@@ -69,6 +70,7 @@ class _TreeState(NamedTuple):
     grad_plus: jax.Array
     x_prop: jax.Array
     r_prop: jax.Array
+    logp_prop: jax.Array
     n: jax.Array
     depth: jax.Array
     stop: jax.Array
@@ -132,6 +134,7 @@ def _build_subtree(logp_vg, state0, direction, depth, logu, H0, step_size, inv_m
         )
         x_prop = jnp.where(take, x1, s.x_prop)
         r_prop = jnp.where(take, r1, s.r_prop)
+        logp_prop = jnp.where(take, logp1, s.logp_prop)
 
         # --- checkpointed sub-subtree U-turn detection ---
         leaf = s.leaf
@@ -165,7 +168,8 @@ def _build_subtree(logp_vg, state0, direction, depth, logu, H0, step_size, inv_m
         alpha = jnp.where(joint_ok, jnp.minimum(1.0, jnp.exp(joint - H0)), 0.0)
         return _SubtreeState(
             x=x1, r=r1, grad=grad1, leaf=leaf + 1,
-            x_prop=x_prop, r_prop=r_prop, n_valid=n_new, stop=stop,
+            x_prop=x_prop, r_prop=r_prop, logp_prop=logp_prop,
+            n_valid=n_new, stop=stop,
             ckpt_x=ckpt_x, ckpt_r=ckpt_r, key=key,
             alpha_sum=s.alpha_sum + alpha,
             alpha_count=s.alpha_count + 1,
@@ -207,7 +211,7 @@ def nuts_single(logp_vg, x0, r0, key, step_size, inv_mass=None, max_depth=MAX_TR
     init = _TreeState(
         x_minus=x0, r_minus=r0, grad_minus=grad0,
         x_plus=x0, r_plus=r0, grad_plus=grad0,
-        x_prop=x0, r_prop=r0,
+        x_prop=x0, r_prop=r0, logp_prop=logp0,
         n=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
         stop=jnp.asarray(False),
@@ -239,6 +243,7 @@ def nuts_single(logp_vg, x0, r0, key, step_size, inv_mass=None, max_depth=MAX_TR
             x=x_e, r=r_e, grad=g_e,
             leaf=jnp.asarray(0, jnp.int32),
             x_prop=x_e, r_prop=r_e,  # placeholder; unused if n_valid stays 0
+            logp_prop=t.logp_prop,
             n_valid=jnp.asarray(0, jnp.int32),
             stop=jnp.asarray(False),
             ckpt_x=zeros_ck, ckpt_r=zeros_ck, key=key,
@@ -263,6 +268,7 @@ def nuts_single(logp_vg, x0, r0, key, step_size, inv_mass=None, max_depth=MAX_TR
         )
         x_prop = jnp.where(accept, sub.x_prop, t.x_prop)
         r_prop = jnp.where(accept, sub.r_prop, t.r_prop)
+        logp_prop = jnp.where(accept, sub.logp_prop, t.logp_prop)
 
         n = t.n + sub.n_valid
         dx = x_plus - x_minus
@@ -271,7 +277,7 @@ def nuts_single(logp_vg, x0, r0, key, step_size, inv_mass=None, max_depth=MAX_TR
         return _TreeState(
             x_minus=x_minus, r_minus=r_minus, grad_minus=g_minus,
             x_plus=x_plus, r_plus=r_plus, grad_plus=g_plus,
-            x_prop=x_prop, r_prop=r_prop,
+            x_prop=x_prop, r_prop=r_prop, logp_prop=logp_prop,
             n=n, depth=t.depth + 1, stop=stop, key=sub.key,
             leapfrogs=t.leapfrogs + sub.leaf,
             alpha_sum=sub.alpha_sum, alpha_count=sub.alpha_count,
@@ -281,6 +287,8 @@ def nuts_single(logp_vg, x0, r0, key, step_size, inv_mass=None, max_depth=MAX_TR
     stats = {
         "depth": final.depth,
         "n_valid": final.n,
+        "logp0": logp0,  # target logp at the start point (at this phi)
+        "logp_prop": final.logp_prop,  # target logp at the returned sample
         "leapfrogs": final.leapfrogs + 1,  # +1 initial gradient eval
         "accept_stat": final.alpha_sum
         / jnp.maximum(final.alpha_count, 1).astype(x0.dtype),
@@ -298,6 +306,26 @@ def nuts_batch(logp_vg, x, r, keys, step_size, inv_mass=None, max_depth=MAX_TREE
         logp_vg, xi, ri, ki, step_size, inv_mass=inv_mass, max_depth=max_depth
     )
     return jax.vmap(f)(x, r, keys)
+
+
+def hmc_accept_reject_cached(logp0, logp_prime, x, x_prime, r, r_prime, key,
+                             inv_mass=None):
+    """As hmc_accept_reject, but using the target log-densities the NUTS tree
+    already evaluated (stats["logp0"], stats["logp_prop"]) — saves two full
+    batched model evaluations per iteration. Identical math."""
+    if inv_mass is None:
+        ke = lambda rr: 0.5 * jnp.sum(rr * rr, axis=1)
+    else:
+        ke = lambda rr: 0.5 * jnp.sum(rr * inv_mass[None, :] * rr, axis=1)
+    H1 = logp_prime - ke(r_prime)
+    H0 = logp0 - ke(r)
+    ratio = jnp.exp(H1 - H0)
+    u = jax.random.uniform(key, (x.shape[0],), dtype=x.dtype)
+    ok = jnp.all(jnp.isfinite(x_prime), axis=1)
+    accepted = (u <= jnp.minimum(1.0, ratio)) & ok
+    x_out = jnp.where(accepted[:, None], x_prime, x)
+    r_out = jnp.where(accepted[:, None], r_prime, r)
+    return x_out, r_out, accepted
 
 
 def hmc_accept_reject(logp_batch_fn, x, x_prime, r, r_prime, key, inv_mass=None):

@@ -47,7 +47,7 @@ from .ops.adaptation import (
 )
 from .ops.lkernels import forward_lkernel_logpdf, gaussian_lkernel_logpdf
 from .ops.moments import estimate as constrained_estimate
-from .ops.nuts import hmc_accept_reject, nuts_batch
+from .ops.nuts import hmc_accept_reject_cached, nuts_batch
 from .ops.resampling import multinomial_ancestors, resample_if_required
 from .ops.tempering import next_temperature
 from .ops.weights import ess as compute_ess
@@ -132,10 +132,11 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
 
         if cfg.is_asymptotic:
             # Accept-reject epilogue makes the forward kernel pi_phi-invariant
-            # (reference nuts_acc_rej.py:42-49).
-            logp_b = lambda xx: model.logp_batch(xx, phi)
-            x_new, r_new, _ = hmc_accept_reject(
-                logp_b, x_r, x_new, r, r_new, k_acc, inv_mass=carry.inv_mass
+            # (reference nuts_acc_rej.py:42-49). The tree already evaluated
+            # logp at both endpoints — reuse instead of recomputing.
+            x_new, r_new, _ = hmc_accept_reject_cached(
+                tree_stats["logp0"], tree_stats["logp_prop"],
+                x_r, x_new, r, r_new, k_acc, inv_mass=carry.inv_mass,
             )
 
         # 7: next temperature from the proposed positions.
@@ -160,10 +161,18 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 lk = forward_lkernel_logpdf(momentum_proposal.logpdf, r_new)
             else:
                 lk = gaussian_lkernel_logpdf(r_new, x_new)
+            if not cfg.tempering:
+                # phi is identically 1 here, so the tree's cached endpoint
+                # log-densities ARE the phi=1 values — two model evals saved.
+                logp_new_1 = tree_stats["logp_prop"]
+                logp_old_1 = tree_stats["logp0"]
+            else:
+                logp_new_1 = model.logp_batch(x_new, 1.0)
+                logp_old_1 = model.logp_batch(x_r, 1.0)
             logw_new = (
                 logw_r
-                + model.logp_batch(x_new, 1.0)
-                - model.logp_batch(x_r, 1.0)
+                + logp_new_1
+                - logp_old_1
                 + lk
                 - momentum_proposal.logpdf(r)
             )
