@@ -94,7 +94,10 @@ def make_arma(y=None, fused: str | None = None) -> Model:
 
         loglik_vg = make_arma_loglik_vg(y, backend=fused)
 
+    from ..ops.nuts_pallas import arma_tile_model
+
     return Model(
+        tile_model=arma_tile_model(y),
         name="arma",
         dim=4,
         constrained_dim=4,

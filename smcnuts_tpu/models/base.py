@@ -55,6 +55,9 @@ class Model:
     # block to one fused kernel (e.g. the Pallas arma kernel). When None, the
     # sampler differentiates loglik with jax.value_and_grad.
     loglik_vg: Callable[[jax.Array], tuple] | None = None
+    # Optional in-kernel model plug-in (ops/nuts_pallas.TileModel) enabling
+    # the whole-tree Pallas NUTS backend (SMCConfig.nuts_backend="pallas").
+    tile_model: object | None = None
 
     def logp(self, theta: jax.Array, phi=1.0) -> jax.Array:
         """Tempered log density at a single unconstrained point."""

@@ -1,0 +1,441 @@
+"""The complete NUTS proposal as ONE Pallas TPU kernel.
+
+The XLA formulation (ops/nuts.py) advances the whole particle block one
+leapfrog per `lax.while_loop` trip; every trip dispatches ~70 small device ops
+(leapfrog + model value/grad + tree bookkeeping), so at typical tree sizes a
+single SMC iteration costs hundreds of op launches. This module instead runs
+the entire tree construction — doubling loop, leaf loop, leapfrogs, model
+evaluation, progressive sampling, checkpointed U-turn detection — inside one
+`pl.pallas_call`: one kernel launch per SMC iteration, all state resident in
+VMEM/vregs, the model evaluated by an inlined tile function.
+
+This is the BASELINE.json north-star kernel: "the NUTS tree-build/leapfrog
+proposal runs as a vmapped, fixed-depth, mask-based Pallas kernel over all N
+particles simultaneously".
+
+Layout: particles live across (sublane, lane) positions of (8, 128) f32
+tiles; a position is a list of D such tiles; a grid step processes 1024
+particles. Per-particle control divergence is handled with explicit lane
+masks (the vmap-of-while semantics of ops/nuts.py, hand-lowered): all lanes
+in a block walk the deepest active tree; frozen lanes keep their state.
+
+Algorithmic semantics are identical to ops/nuts.py (same progressive
+sampling, same checkpoint U-turn scheme, same divergence guard); the RNG
+stream is the TPU PRNG rather than threefry, so cross-checks are statistical.
+
+Model plug-in: a `TileModel` provides extra data arrays and a
+`tile_fn(extra_refs, x_tiles, phi) -> (logp_tile, grad_tiles)` written in
+Pallas-compatible ops. `arma_tile_model()` implements the ARMA(1,1) target
+(reference stan_models/arma/arma.stan) with the fused value+tangent
+recurrences of ops/arma_fused.py inlined per leaf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nuts import DIVERGENCE_THRESHOLD, MAX_TREE_DEPTH
+
+_LANES = 128
+_SUBLANES = 8
+_BLOCK = _LANES * _SUBLANES
+
+_INV_2_24 = float(2.0**-24)
+
+
+@dataclasses.dataclass(frozen=True)
+class TileModel:
+    """Model plug-in for in-kernel evaluation."""
+
+    dim: int
+    extra: Sequence[jnp.ndarray]  # data arrays, passed through SMEM
+    tile_fn: Callable  # (extra_refs, x_tiles list[D], phi) -> (logp, grads)
+
+
+def _popcount_scalar(v, bits=13):
+    """Scalar popcount via shift-and-mask (Mosaic's population_count is
+    vector-only). Leaf indices are < 2^(max_depth+1) <= 2^11."""
+    c = jnp.zeros((), jnp.int32)
+    for i in range(bits):
+        c = c + (jax.lax.shift_right_logical(v, jnp.int32(i)) & jnp.int32(1))
+    return c
+
+
+def _uniform(shape):
+    bits = pltpu.prng_random_bits(shape)
+    # 24 high bits -> (0, 1]: never exactly 0 so -log(u) is finite. The
+    # shifted value fits in 24 bits, so the int32 view is non-negative
+    # (Mosaic has no uint32->f32 cast).
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    return (pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) + 1.0) * _INV_2_24
+
+
+def _nuts_kernel(
+    seed_ref, phi_ref, eps_ref, nvalid_ref, x_ref, r_ref, *rest, tile_fn,
+    D, max_depth, n_extra,
+):
+    extra_refs = rest[:n_extra]
+    (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
+     ck_x, ck_r) = rest[n_extra:]
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(1000003))
+    phi = phi_ref[0]
+    eps = eps_ref[0]
+
+    shape = (_SUBLANES, _LANES)
+
+    def model(x_tiles):
+        return tile_fn(extra_refs, x_tiles, phi)
+
+    x0 = [x_ref[0, d] for d in range(D)]
+    r0 = [r_ref[0, d] for d in range(D)]
+    # Materialized zero tile: splat-constant zeros get a replicated vector
+    # layout in Mosaic, which cannot be carried through while loops whose
+    # bodies produce materialized layouts ("Invalid relayout" otherwise).
+    f0 = x0[0] * 0.0
+
+    def ke(r_tiles):
+        acc = f0
+        for d in range(D):
+            acc = acc + r_tiles[d] * r_tiles[d]
+        return 0.5 * acc
+    logp0, g0 = model(x0)
+    H0 = logp0 - ke(r0)
+    logu = H0 - (-jnp.log(_uniform(shape)))
+
+    xm, rm, gm = list(x0), list(r0), list(g0)
+    xp, rp, gp = list(x0), list(r0), list(g0)
+    xs, rs = list(x0), list(r0)
+    lps = logp0
+    n = f0 + 1.0
+    # Padding lanes (particle index >= N) start stopped so they never force
+    # extra leaf-loop trips for their block.
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    pidx = pl.program_id(0) * jnp.int32(_BLOCK) + row * jnp.int32(_LANES) + col
+    stop = pidx >= nvalid_ref[0]
+    alpha_sum = f0
+    alpha_cnt = f0
+    lf_cnt = f0
+    depth_done = f0
+
+    for depth in range(max_depth + 1):
+        active = jnp.logical_not(stop)
+        direction = jnp.where(_uniform(shape) < 0.5, 1.0, -1.0)
+        back = direction < 0
+
+        x = [jnp.where(back, xm[d], xp[d]) for d in range(D)]
+        r = [jnp.where(back, rm[d], rp[d]) for d in range(D)]
+        g = [jnp.where(back, gm[d], gp[d]) for d in range(D)]
+
+        num_leaves = 1 << depth
+
+        def leaf_body(carry, active=active, direction=direction):
+            # sstop is carried as f32 (1.0 = stopped): Mosaic cannot carry
+            # i1 vectors through scf.while.
+            (leaf, x, r, g, xpr, rpr, lppr, nsub, sstop,
+             alpha_sum, alpha_cnt, lf_cnt) = carry
+            act = (sstop < 0.5) & active
+
+            deps = direction * eps
+            r_half = [r[d] + 0.5 * deps * g[d] for d in range(D)]
+            x1 = [x[d] + deps * r_half[d] for d in range(D)]
+            lp1, g1 = model(x1)
+            r1 = [r_half[d] + 0.5 * deps * g1[d] for d in range(D)]
+
+            joint = lp1 - ke(r1)
+            ok = (joint == joint) & (jnp.abs(joint) < jnp.inf)
+            valid = ok & (logu < joint) & act
+            div = act & (
+                jnp.logical_not(ok)
+                | ((logu - DIVERGENCE_THRESHOLD) >= joint)
+            )
+
+            nsub = nsub + valid.astype(jnp.float32)
+            take = valid & (_uniform(shape) * nsub < 1.0)
+            xpr = [jnp.where(take, x1[d], xpr[d]) for d in range(D)]
+            rpr = [jnp.where(take, r1[d], rpr[d]) for d in range(D)]
+            lppr = jnp.where(take, lp1, lppr)
+
+            alpha = jnp.where(
+                act & ok, jnp.minimum(1.0, jnp.exp(joint - H0)), 0.0
+            )
+            alpha_sum = alpha_sum + alpha
+            alpha_cnt = alpha_cnt + act.astype(jnp.float32)
+            lf_cnt = lf_cnt + act.astype(jnp.float32)
+
+            leaf32 = leaf.astype(jnp.int32)
+            idx_max = _popcount_scalar(
+                jax.lax.shift_right_logical(leaf32, jnp.int32(1))
+            )
+            t_ones = _popcount_scalar(leaf32 ^ (leaf32 + 1)) - 1
+            idx_min = idx_max - t_ones + 1
+            is_even = (leaf32 % 2) == 0
+
+            @pl.when(is_even)
+            def _store():
+                for d in range(D):
+                    ck_x[idx_max, d] = jnp.where(
+                        act, x1[d], ck_x[idx_max, d]
+                    )
+                    ck_r[idx_max, d] = jnp.where(
+                        act, r1[d], ck_r[idx_max, d]
+                    )
+
+            turned = f0 > 1.0
+            for slot in range(max_depth + 1):
+                in_range = (
+                    jnp.logical_not(is_even)
+                    & (slot >= idx_min)
+                    & (slot <= idx_max)
+                )
+                v_ck = f0
+                v_lf = f0
+                for d in range(D):
+                    dx = direction * (x1[d] - ck_x[slot, d])
+                    v_ck = v_ck + dx * ck_r[slot, d]
+                    v_lf = v_lf + dx * r1[d]
+                turned = turned | (in_range & ((v_ck < 0) | (v_lf < 0)))
+
+            sstop = jnp.maximum(
+                sstop, jnp.where(div | (turned & act), f0 + 1.0, f0)
+            )
+            x = [jnp.where(act, x1[d], x[d]) for d in range(D)]
+            r = [jnp.where(act, r1[d], r[d]) for d in range(D)]
+            g = [jnp.where(act, g1[d], g[d]) for d in range(D)]
+            return (leaf + 1, x, r, g, xpr, rpr, lppr, nsub, sstop,
+                    alpha_sum, alpha_cnt, lf_cnt)
+
+        def leaf_cond(carry, active=active):
+            leaf = carry[0]
+            sstop = carry[8]
+            return (leaf < num_leaves) & jnp.any((sstop < 0.5) & active)
+
+        carry0 = (
+            jnp.zeros((), jnp.int32), x, r, g,
+            [x[d] for d in range(D)], [r[d] for d in range(D)], lps,
+            f0, jnp.where(stop, f0 + 1.0, f0), alpha_sum, alpha_cnt, lf_cnt,
+        )
+        (_, x, r, g, xpr, rpr, lppr, nsub, sstop,
+         alpha_sum, alpha_cnt, lf_cnt) = lax.while_loop(
+            leaf_cond, leaf_body, carry0
+        )
+
+        fwd = active & jnp.logical_not(back)
+        bwd = active & back
+        for d in range(D):
+            xm[d] = jnp.where(bwd, x[d], xm[d])
+            rm[d] = jnp.where(bwd, r[d], rm[d])
+            gm[d] = jnp.where(bwd, g[d], gm[d])
+            xp[d] = jnp.where(fwd, x[d], xp[d])
+            rp[d] = jnp.where(fwd, r[d], rp[d])
+            gp[d] = jnp.where(fwd, g[d], gp[d])
+
+        sub_ok = active & (sstop < 0.5)
+        accept = sub_ok & (_uniform(shape) * n < nsub)
+        for d in range(D):
+            xs[d] = jnp.where(accept, xpr[d], xs[d])
+            rs[d] = jnp.where(accept, rpr[d], rs[d])
+        lps = jnp.where(accept, lppr, lps)
+        n = n + jnp.where(active, nsub, 0.0)
+
+        v_m = f0
+        v_p = f0
+        for d in range(D):
+            dx = xp[d] - xm[d]
+            v_m = v_m + dx * rm[d]
+            v_p = v_p + dx * rp[d]
+        turned_g = (v_m < 0) | (v_p < 0)
+        stop = stop | (active & ((sstop > 0.5) | turned_g))
+        depth_done = depth_done + active.astype(jnp.float32)
+
+    for d in range(D):
+        x_out[0, d] = xs[d]
+        r_out[0, d] = rs[d]
+    logp0_out[0] = logp0
+    lp_out[0] = lps
+    astat_out[0] = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
+    depth_out[0] = depth_done
+    leaf_out[0] = lf_cnt + 1.0
+
+
+def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
+                      max_depth=MAX_TREE_DEPTH, interpret=False):
+    """Run the fused NUTS kernel over (N, D) particles.
+
+    Returns (x_new, r_new, stats) mirroring ops/nuts.nuts_batch — stats hold
+    f32 per-particle depth/leapfrogs/accept_stat plus the cached endpoint
+    log-densities (logp0, logp_prop).
+    """
+    D = tile_model.dim
+    n = x.shape[0]
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    nblk = n_pad // _BLOCK
+
+    def to_tiles(a):
+        ap = jnp.zeros((n_pad, D), jnp.float32).at[:n].set(a)
+        return ap.T.reshape(D, nblk, _SUBLANES, _LANES).transpose(1, 0, 2, 3)
+
+    x_t = to_tiles(x)
+    r_t = to_tiles(r)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    phi_arr = jnp.asarray(phi, jnp.float32).reshape(1)
+    eps_arr = jnp.asarray(step_size, jnp.float32).reshape(1)
+    nvalid_arr = jnp.asarray(n, jnp.int32).reshape(1)
+
+    tile_spec = pl.BlockSpec(
+        (1, D, _SUBLANES, _LANES), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    flat_spec = pl.BlockSpec(
+        (1, _SUBLANES, _LANES), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    flat_shape = jax.ShapeDtypeStruct((nblk, _SUBLANES, _LANES), jnp.float32)
+    tile_shape = jax.ShapeDtypeStruct(
+        (nblk, D, _SUBLANES, _LANES), jnp.float32
+    )
+
+    kernel = partial(
+        _nuts_kernel,
+        tile_fn=tile_model.tile_fn,
+        D=D,
+        max_depth=max_depth,
+        n_extra=len(tile_model.extra),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n valid
+            tile_spec,  # x
+            tile_spec,  # r
+            *[
+                pl.BlockSpec(memory_space=pltpu.SMEM)
+                for _ in tile_model.extra
+            ],
+        ],
+        out_specs=[
+            tile_spec, tile_spec, flat_spec, flat_spec, flat_spec,
+            flat_spec, flat_spec,
+        ],
+        out_shape=[
+            tile_shape, tile_shape, flat_shape, flat_shape, flat_shape,
+            flat_shape, flat_shape,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max_depth + 1, D, _SUBLANES, _LANES), jnp.float32),
+            pltpu.VMEM((max_depth + 1, D, _SUBLANES, _LANES), jnp.float32),
+        ],
+        # TPU-semantics interpreter (supports the TPU PRNG primitives).
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, phi_arr, eps_arr, nvalid_arr, x_t, r_t, *tile_model.extra)
+
+    x_new_t, r_new_t, lp0, lp, astat, depth, leaps = outs
+
+    def from_tiles(a):
+        return a.transpose(1, 0, 2, 3).reshape(D, n_pad).T[:n]
+
+    def from_flat(a):
+        return a.reshape(n_pad)[:n]
+
+    stats = {
+        "logp0": from_flat(lp0),
+        "logp_prop": from_flat(lp),
+        "accept_stat": from_flat(astat),
+        "depth": from_flat(depth),
+        "leapfrogs": from_flat(leaps),
+    }
+    return from_tiles(x_new_t), from_tiles(r_new_t), stats
+
+
+# ---------------------------------------------------------------------------
+# ARMA(1,1) tile model
+# ---------------------------------------------------------------------------
+
+LOG_SQRT_2PI = float(0.5 * np.log(2.0 * np.pi))
+_LOG_PI = float(np.log(np.pi))
+
+
+def arma_tile_model(y) -> TileModel:
+    """In-kernel ARMA(1,1) tempered logp + gradient (fused tangent
+    recurrences — same math as ops/arma_fused.py; priors from reference
+    stan_models/arma/arma.stan:18-21, exp-transform Jacobian included)."""
+    y = jnp.asarray(y, jnp.float32)
+    T = int(y.shape[0])
+
+    def tile_fn(extra_refs, xt, phi):
+        (y_ref,) = extra_refs
+        mu, beta, th, ls = xt[0], xt[1], xt[2], xt[3]
+
+        err = y_ref[0] - mu - beta * mu
+        emu = -1.0 - beta
+        eb = -mu
+        eth = mu * 0.0  # materialized zero (Mosaic layout, see _nuts_kernel)
+        init = (
+            err, emu, eb, eth,
+            err * err, err * emu, err * eb, mu * 0.0,
+        )
+
+        def body(t, c):
+            err, emu, eb, eth, s2, smu, sb, sth = c
+            y_t = y_ref[t]
+            y_tm1 = y_ref[t - 1]
+            err_n = y_t - mu - beta * y_tm1 - th * err
+            emu_n = -1.0 - th * emu
+            eb_n = -y_tm1 - th * eb
+            eth_n = -err - th * eth
+            return (
+                err_n, emu_n, eb_n, eth_n,
+                s2 + err_n * err_n, smu + err_n * emu_n,
+                sb + err_n * eb_n, sth + err_n * eth_n,
+            )
+
+        _, _, _, _, s2, smu, sb, sth = lax.fori_loop(1, T, body, init)
+
+        inv_s2 = jnp.exp(-2.0 * ls)
+        ll = -T * (LOG_SQRT_2PI + ls) - 0.5 * s2 * inv_s2
+        gl_mu = -smu * inv_s2
+        gl_beta = -sb * inv_s2
+        gl_th = -sth * inv_s2
+        gl_ls = -T + s2 * inv_s2
+
+        sigma = jnp.exp(ls)
+        z = sigma / 2.5
+        lprior = (
+            -0.5 * (mu / 10.0) ** 2 - jnp.log(10.0) - LOG_SQRT_2PI
+            - 0.5 * (beta / 2.0) ** 2 - jnp.log(2.0) - LOG_SQRT_2PI
+            - 0.5 * (th / 2.0) ** 2 - jnp.log(2.0) - LOG_SQRT_2PI
+            - _LOG_PI - jnp.log(2.5) - jnp.log1p(z * z)
+            + ls
+        )
+        gp_mu = -mu / 100.0
+        gp_beta = -beta / 4.0
+        gp_th = -th / 4.0
+        gp_ls = 1.0 - 2.0 * z * z / (1.0 + z * z)
+
+        logp = lprior + phi * ll
+        grads = [
+            gp_mu + phi * gl_mu,
+            gp_beta + phi * gl_beta,
+            gp_th + phi * gl_th,
+            gp_ls + phi * gl_ls,
+        ]
+        return logp, grads
+
+    return TileModel(dim=4, extra=(y,), tile_fn=tile_fn)

@@ -110,25 +110,54 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
 
         # 6: NUTS proposal at temperature phi.
         r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
-        if model.loglik_vg is not None:
-            # Fused value+gradient kernel (custom_vmap dispatches the whole
-            # particle block); prior handled by autodiff — it is O(D).
-            prior_vg = jax.value_and_grad(model.logprior)
+        backend = cfg.nuts_backend
+        if backend == "auto":
+            # The whole-tree kernel is single-device; under a mesh the xla
+            # path shards transparently (a shard_mapped pallas path is future
+            # work), so auto only picks pallas for unsharded TPU runs.
+            backend = (
+                "pallas"
+                if model.tile_model is not None
+                and jax.default_backend() == "tpu"
+                and not cfg.adapt_mass_matrix
+                and mesh is None
+                else "xla"
+            )
+        if backend == "pallas":
+            if model.tile_model is None:
+                raise ValueError(
+                    f"model '{model.name}' has no tile_model; the pallas "
+                    "NUTS backend is unavailable for it"
+                )
+            from .ops.nuts_pallas import nuts_batch_pallas
 
-            def logp_vg(theta):
-                pv, pg = prior_vg(theta)
-                lv, lg = model.loglik_vg(theta)
-                return pv + phi * lv, pg + phi * lg
-
+            seed = jax.random.randint(
+                k_nuts, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            x_new, r_new, tree_stats = nuts_batch_pallas(
+                model.tile_model, x_r, r, seed, carry.step_size, phi,
+                max_depth=cfg.max_tree_depth,
+            )
         else:
-            logp_vg = lambda theta: jax.value_and_grad(
-                lambda t: model.logp(t, phi)
-            )(theta)
-        nuts_keys = jax.random.split(k_nuts, n)
-        x_new, r_new, tree_stats = nuts_batch(
-            logp_vg, x_r, r, nuts_keys, carry.step_size,
-            inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
-        )
+            if model.loglik_vg is not None:
+                # Fused value+gradient kernel (custom_vmap dispatches the
+                # whole particle block); prior by autodiff — it is O(D).
+                prior_vg = jax.value_and_grad(model.logprior)
+
+                def logp_vg(theta):
+                    pv, pg = prior_vg(theta)
+                    lv, lg = model.loglik_vg(theta)
+                    return pv + phi * lv, pg + phi * lg
+
+            else:
+                logp_vg = lambda theta: jax.value_and_grad(
+                    lambda t: model.logp(t, phi)
+                )(theta)
+            nuts_keys = jax.random.split(k_nuts, n)
+            x_new, r_new, tree_stats = nuts_batch(
+                logp_vg, x_r, r, nuts_keys, carry.step_size,
+                inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
+            )
 
         if cfg.is_asymptotic:
             # Accept-reject epilogue makes the forward kernel pi_phi-invariant
