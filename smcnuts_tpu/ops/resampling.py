@@ -18,11 +18,14 @@ import jax.numpy as jnp
 
 
 def multinomial_ancestors(key, wn):
-    """IID categorical ancestor draws (reference rng.choice, samples.py:138-139)."""
+    """IID multinomial ancestor draws (reference rng.choice, samples.py:138-139)
+    via inverse-CDF: N iid uniforms inverted through the weight CDF.
+    Distributionally identical to categorical sampling but O(N log N) instead
+    of the (N, N) Gumbel matrix `jax.random.categorical` materializes."""
     n = wn.shape[0]
-    logits = jnp.log(jnp.maximum(wn, jnp.finfo(wn.dtype).tiny))
-    logits = jnp.where(wn > 0, logits, -jnp.inf)
-    return jax.random.categorical(key, logits, shape=(n,))
+    cdf = jnp.cumsum(wn)
+    u = jax.random.uniform(key, (n,), dtype=wn.dtype) * cdf[-1]
+    return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
 
 
 def systematic_ancestors(key, wn):
