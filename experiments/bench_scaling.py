@@ -1,0 +1,80 @@
+"""Particle-count scaling study on one chip (and mesh scaling where devices
+allow): throughput (particle-iterations/s) vs N for the arma benchmark
+config. The north-star scaling axis is the particle count (SURVEY.md §5);
+near-linear throughput growth in N demonstrates the vectorized kernel is not
+dispatch-bound at scale.
+
+Writes scaling.json into experiments/output/ and prints a table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import get_model
+
+
+def measure(model, n, k, backend, step_size=0.01, repeats=3):
+    cfg = SMCConfig(
+        n_particles=n, n_iterations=k, step_size=step_size,
+        lkernel="forwardsLKernel", save_history=False, nuts_backend=backend,
+    )
+    f = jax.jit(lambda key: run_smc(model, cfg, key))
+    jax.block_until_ready(f(jax.random.key(0)))
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jax.random.key(i + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return n * k / best, best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="arma")
+    p.add_argument("--iterations", "-K", type=int, default=20)
+    p.add_argument(
+        "--sizes", nargs="+", type=int,
+        default=[512, 2048, 8192, 32768, 131072],
+    )
+    p.add_argument("--backends", nargs="+", default=["pallas", "xla"])
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    model = get_model(args.model)
+    rows = []
+    for backend in args.backends:
+        if backend == "pallas" and (
+            model.tile_model is None or jax.default_backend() != "tpu"
+        ):
+            continue
+        for n in args.sizes:
+            rate, best = measure(model, n, args.iterations, backend)
+            rows.append(
+                {"backend": backend, "N": n, "K": args.iterations,
+                 "particle_iters_per_s": round(rate, 1),
+                 "seconds": round(best, 4)}
+            )
+            print(
+                f"{backend:7s} N={n:7d}: {rate:12.0f} p-i/s ({best:.4f}s)",
+                flush=True,
+            )
+
+    out = args.output or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "output", "scaling.json"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

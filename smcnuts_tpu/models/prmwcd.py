@@ -55,7 +55,10 @@ def make_prmwcd(y=None, X=None, q=None) -> Model:
         return jnp.concatenate([theta[:M], jnp.exp(theta[M:])])
 
     names = tuple(f"Beta.{i}" for i in range(1, M + 1)) + ("Gamma",)
+    from ..ops.nuts_pallas import prmwcd_tile_model
+
     return Model(
+        tile_model=prmwcd_tile_model(y, X, q),
         name="prmwcd",
         dim=M + 1,
         constrained_dim=M + 1,

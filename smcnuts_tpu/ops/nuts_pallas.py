@@ -372,6 +372,91 @@ LOG_SQRT_2PI = float(0.5 * np.log(2.0 * np.pi))
 _LOG_PI = float(np.log(np.pi))
 
 
+def prmwcd_tile_model(y, X, q) -> TileModel:
+    """In-kernel PRMwCD tempered logp + gradient (reference
+    stan_models/PRMwCD/PRMwCD.stan): Poisson regression with kernel design
+    matrix, exponential-power (bridge) prior on the 11 kernel coefficients,
+    inverse-gamma prior on Gamma (log-transformed, Jacobian included).
+
+    Parameters theta = [Beta_1..Beta_12, log_Gamma] (D = 13). The N_obs x
+    Clength design matrix and observations live in SMEM; the observation loop
+    runs as a fori with scalar broadcasts against the particle tiles. The
+    constant -sum(lgamma(y_i + 1)) term is folded in at build time (Mosaic
+    has no lgamma)."""
+    import scipy.special
+
+    y = np.asarray(y, np.float64)
+    X = np.asarray(X, np.float64)
+    n_obs, n_cov = X.shape
+    M = n_cov + 1  # betas incl. intercept
+    q = float(q)
+    lgamma_const = float(-scipy.special.gammaln(y + 1.0).sum())
+    # inv_gamma_lpdf(Gamma | 2, 1.3) = 2*log(1.3) - lgamma(2) - 3*log(Gamma)
+    # - 1.3/Gamma; lgamma(2) = 0.
+    ig_const = float(2.0 * np.log(1.3))
+
+    y_j = jnp.asarray(y, jnp.float32)
+    X_j = jnp.asarray(X, jnp.float32)
+
+    def tile_fn(extra_refs, xt, phi):
+        y_ref, X_ref = extra_refs
+        betas = xt[:M]
+        g = xt[M]  # log Gamma
+
+        zero = betas[0] * 0.0
+        s_resid = zero  # sum_i (y_i - exp(eta_i))
+        s_cov = [zero for _ in range(n_cov)]  # sum_i resid_i * X[i, j]
+        ll = zero + lgamma_const
+
+        def obs_body(i, carry):
+            ll, s_resid, s_cov = carry
+            eta = betas[0]
+            for j in range(n_cov):
+                eta = eta + X_ref[i, j] * betas[j + 1]
+            mu = jnp.exp(eta)
+            y_i = y_ref[i]
+            ll = ll + y_i * eta - mu
+            resid = y_i - mu
+            s_resid = s_resid + resid
+            s_cov = [s_cov[j] + resid * X_ref[i, j] for j in range(n_cov)]
+            return (ll, s_resid, s_cov)
+
+        ll, s_resid, s_cov = lax.fori_loop(
+            0, n_obs, obs_body, (ll, s_resid, s_cov)
+        )
+
+        # Prior: inverse-gamma on Gamma = exp(g) with Jacobian, EP (bridge)
+        # prior on the non-intercept betas.
+        gamma = jnp.exp(g)
+        inv_gamma = jnp.exp(-g)
+        ep_sum = zero  # sum_j |beta_j / Gamma|^q
+        gp_beta = []
+        for j in range(1, M):
+            ab = jnp.abs(betas[j])
+            pow_q = jnp.exp(q * (jnp.log(ab) - g))  # |b/Gamma|^q
+            ep_sum = ep_sum + pow_q
+            # d/d beta_j of -|b/Gamma|^q = -q |b/Gamma|^(q-1) sign(b) / Gamma
+            gp_beta.append(
+                -q * jnp.exp((q - 1.0) * (jnp.log(ab) - g))
+                * jnp.sign(betas[j]) * inv_gamma
+            )
+        lprior = (
+            ig_const - 3.0 * g - 1.3 * inv_gamma + g  # inv-gamma + Jacobian
+            - (M - 1) * g - ep_sum  # EP prior: -log(Gamma) per coef
+        )
+        # d lprior / d g.
+        gp_g = -3.0 + 1.3 * inv_gamma + 1.0 - (M - 1) + q * ep_sum
+
+        logp = lprior + phi * ll
+        grads = [phi * s_resid]  # intercept: flat prior
+        for j in range(n_cov):
+            grads.append(gp_beta[j] + phi * s_cov[j])
+        grads.append(gp_g)
+        return logp, grads
+
+    return TileModel(dim=M + 1, extra=(y_j, X_j), tile_fn=tile_fn)
+
+
 def arma_tile_model(y) -> TileModel:
     """In-kernel ARMA(1,1) tempered logp + gradient (fused tangent
     recurrences — same math as ops/arma_fused.py; priors from reference

@@ -88,6 +88,34 @@ def test_padding_lanes_inert(setup):
     assert np.all(np.isfinite(np.asarray(st["accept_stat"])))
 
 
+@pytest.mark.parametrize("model_name", ["arma", "prmwcd"])
+def test_inkernel_gradients_via_depth0_leapfrog(model_name):
+    """With max_depth=0 and the interpret-mode PRNG stub (all-uniforms tiny,
+    direction +1, leaf always selected), the tree IS one leapfrog — so the
+    output position/momentum check the in-kernel gradients against autodiff
+    directly, for both tile models."""
+    from smcnuts_tpu.models import get_model
+
+    m = get_model(model_name)
+    n, D = 16, m.dim
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 0.3, (n, D)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+    phi, eps = 0.7, 0.01
+    x1, r1, _ = nuts_batch_pallas(
+        m.tile_model, x, r, seed=0, step_size=eps, phi=phi, max_depth=0,
+        interpret=True,
+    )
+    vg = jax.vmap(jax.value_and_grad(lambda t: m.logp(t, phi)))
+    _, g0 = vg(x)
+    r_half = r + 0.5 * eps * g0
+    x_exp = x + eps * r_half
+    _, g1 = vg(x_exp)
+    r_exp = r_half + 0.5 * eps * g1
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x_exp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r_exp), atol=1e-5)
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
     reason="the TPU-interpret mode's prng_random_bits is a stub (returns "
