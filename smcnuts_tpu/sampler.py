@@ -112,15 +112,11 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
         backend = cfg.nuts_backend
         if backend == "auto":
-            # The whole-tree kernel is single-device; under a mesh the xla
-            # path shards transparently (a shard_mapped pallas path is future
-            # work), so auto only picks pallas for unsharded TPU runs.
             backend = (
                 "pallas"
                 if model.tile_model is not None
                 and jax.default_backend() == "tpu"
                 and not cfg.adapt_mass_matrix
-                and mesh is None
                 else "xla"
             )
         if backend == "pallas":
@@ -134,10 +130,39 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             seed = jax.random.randint(
                 k_nuts, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
-            x_new, r_new, tree_stats = nuts_batch_pallas(
-                model.tile_model, x_r, r, seed, carry.step_size, phi,
+            base_kernel = lambda xx, rr, sd: nuts_batch_pallas(
+                model.tile_model, xx, rr, sd, carry.step_size, phi,
                 max_depth=cfg.max_tree_depth,
             )
+            kernel_call = base_kernel
+            if mesh is not None:
+                # Particle-parallel: each device runs the whole-tree kernel
+                # on its shard; per-device seeds decorrelate the TPU PRNG.
+                from jax.sharding import PartitionSpec as P
+
+                from .parallel.sharding import PARTICLE_AXIS
+
+                def sharded_kernel(xx, rr, sd):
+                    sd = sd + jax.lax.axis_index(PARTICLE_AXIS) * jnp.int32(
+                        7919
+                    )
+                    return base_kernel(xx, rr, sd)
+
+                kernel_call = jax.shard_map(
+                    sharded_kernel,
+                    mesh=mesh.abstract_mesh,
+                    check_vma=False,  # pallas out_shapes carry no vma info
+                    in_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS, None), P()),
+                    out_specs=(
+                        P(PARTICLE_AXIS, None),
+                        P(PARTICLE_AXIS, None),
+                        {k: P(PARTICLE_AXIS) for k in (
+                            "logp0", "logp_prop", "accept_stat", "depth",
+                            "leapfrogs",
+                        )},
+                    ),
+                )
+            x_new, r_new, tree_stats = kernel_call(x_r, r, seed)
         else:
             if model.loglik_vg is not None:
                 # Fused value+gradient kernel (custom_vmap dispatches the

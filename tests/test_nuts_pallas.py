@@ -116,6 +116,49 @@ def test_inkernel_gradients_via_depth0_leapfrog(model_name):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r_exp), atol=1e-5)
 
 
+def test_shard_map_multi_device(setup):
+    """The whole-tree kernel composes with shard_map over the particle mesh:
+    each device runs the kernel on its shard (interpret mode here; the real
+    TPU path uses the same program). Validates the mesh-parallel pallas
+    backend wiring in sampler._make_step."""
+    from jax.sharding import PartitionSpec as P
+
+    from smcnuts_tpu.parallel import particle_mesh, particle_sharding
+
+    tm, model = setup
+    mesh = particle_mesh()
+    n = jax.device_count() * 16
+    x, r = _particles(n, seed=11)
+    x = jax.device_put(x, particle_sharding(mesh))
+    r = jax.device_put(r, particle_sharding(mesh))
+
+    def body(xx, rr, sd):
+        sd = sd + jax.lax.axis_index("particles") * jnp.int32(7919)
+        return nuts_batch_pallas(
+            tm, xx, rr, sd, 0.01, 1.0, max_depth=2, interpret=True
+        )
+
+    stats_spec = {
+        k: P("particles")
+        for k in ("logp0", "logp_prop", "accept_stat", "depth", "leapfrogs")
+    }
+    f = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh.abstract_mesh, check_vma=False,
+            in_specs=(P("particles", None), P("particles", None), P()),
+            out_specs=(P("particles", None), P("particles", None), stats_spec),
+        )
+    )
+    x1, r1, st = f(x, r, jnp.int32(3))
+    assert x1.shape == (n, 4)
+    assert len(x1.addressable_shards) == jax.device_count()
+    assert np.all(np.isfinite(np.asarray(x1)))
+    lp_ref = np.asarray(model.logp_batch(x1, 1.0))
+    np.testing.assert_allclose(
+        np.asarray(st["logp_prop"]), lp_ref, rtol=1e-4, atol=1e-3
+    )
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
     reason="the TPU-interpret mode's prng_random_bits is a stub (returns "
