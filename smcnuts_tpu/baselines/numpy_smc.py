@@ -26,6 +26,108 @@ MAX_TREE_DEPTH = 10
 DIVERGENCE = 100.0
 
 
+class NumpyArmaModel:
+    """Pure NumPy/SciPy ARMA(1,1) target (no JAX anywhere): the error
+    recurrence and its tangent recurrences are constant-coefficient IIR
+    filters evaluated with scipy.signal.lfilter (C speed), making this a fair
+    stand-in for the reference's BridgeStan C++ evaluations when measuring
+    the serial-baseline throughput."""
+
+    def __init__(self, y=None):
+        if y is None:
+            import os
+
+            asset = os.path.join(
+                os.path.dirname(__file__), "..", "assets", "arma.npz"
+            )
+            y = np.load(asset)["y"]
+        self.y = np.asarray(y, np.float64)
+        self.T = len(self.y)
+        self.dim = 4
+
+    def _err_sums(self, theta):
+        from scipy.signal import lfilter
+
+        mu, beta, th, ls = theta
+        y = self.y
+        b = np.empty(self.T)
+        b[0] = y[0] - mu - beta * mu
+        b[1:] = y[1:] - mu - beta * y[:-1]
+        err = lfilter([1.0], [1.0, th], b)
+        dmu_in = np.full(self.T, -1.0)
+        dmu_in[0] = -1.0 - beta
+        emu = lfilter([1.0], [1.0, th], dmu_in)
+        db_in = np.empty(self.T)
+        db_in[0] = -mu
+        db_in[1:] = -y[:-1]
+        eb = lfilter([1.0], [1.0, th], db_in)
+        eth_in = np.empty(self.T)
+        eth_in[0] = 0.0
+        eth_in[1:] = -err[:-1]
+        eth = lfilter([1.0], [1.0, th], eth_in)
+        return err, emu, eb, eth
+
+    def _prior(self, theta):
+        mu, beta, th, ls = theta
+        sigma = np.exp(ls)
+        lp = (
+            -0.5 * (mu / 10.0) ** 2 - np.log(10.0) - 0.5 * np.log(2 * np.pi)
+            - 0.5 * (beta / 2.0) ** 2 - np.log(2.0) - 0.5 * np.log(2 * np.pi)
+            - 0.5 * (th / 2.0) ** 2 - np.log(2.0) - 0.5 * np.log(2 * np.pi)
+            - np.log(np.pi * 2.5) - np.log1p((sigma / 2.5) ** 2)
+            + ls
+        )
+        z = sigma / 2.5
+        gp = np.array([
+            -mu / 100.0,
+            -beta / 4.0,
+            -th / 4.0,
+            1.0 - 2.0 * z * z / (1.0 + z * z),
+        ])
+        return lp, gp
+
+    def _loglik_terms(self, theta):
+        err, emu, eb, eth = self._err_sums(theta)
+        ls = theta[3]
+        inv_s2 = np.exp(-2.0 * ls)
+        ll = -self.T * (0.5 * np.log(2 * np.pi) + ls) - 0.5 * inv_s2 * np.dot(
+            err, err
+        )
+        gl = np.array([
+            -inv_s2 * np.dot(err, emu),
+            -inv_s2 * np.dot(err, eb),
+            -inv_s2 * np.dot(err, eth),
+            -self.T + inv_s2 * np.dot(err, err),
+        ])
+        return ll, gl
+
+    def logpdf(self, x, phi=1.0):
+        x = np.asarray(x, np.float64)
+        if x.ndim == 1:
+            lp, _ = self._prior(x)
+            ll, _ = self._loglik_terms(x)
+            return lp + phi * ll
+        return np.array([self.logpdf(xi, phi) for xi in x])
+
+    def logpdfgrad(self, x, phi=1.0):
+        x = np.asarray(x, np.float64)
+        _, gp = self._prior(x)
+        _, gl = self._loglik_terms(x)
+        return gp + phi * gl
+
+    def loglik(self, x):
+        x = np.asarray(x, np.float64)
+        if x.ndim == 1:
+            return self._loglik_terms(x)[0]
+        return np.array([self._loglik_terms(xi)[0] for xi in x])
+
+    def constrain(self, x):
+        x = np.asarray(x, np.float64)
+        out = x.copy()
+        out[..., 3] = np.exp(out[..., 3])
+        return out
+
+
 class NumpyModelAdapter:
     """Expose a smcnuts_tpu Model to numpy code as logpdf/grad callables."""
 
