@@ -81,6 +81,11 @@ class SMCResult(NamedTuple):
     logw_saved: jax.Array | None  # (K+1, N)
     x_final: jax.Array  # (N, D)
     logw_final: jax.Array  # (N,)
+    # Tree observability (absent in the reference): population means per
+    # iteration; index K repeats the last iteration's value.
+    tree_depth: jax.Array | None = None  # (K+1,)
+    tree_leapfrogs: jax.Array | None = None  # (K+1,)
+    accept_stat: jax.Array | None = None  # (K+1,) mean per-leaf MH ratio
 
 
 def _acceptance_metric(x_new, x_old):
@@ -255,6 +260,13 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             "acceptance": acceptance,
             "resampled": did_resample,
             "step_size": step_size,
+            "tree_depth": jnp.mean(
+                tree_stats["depth"].astype(carry.x.dtype)
+            ),
+            "tree_leapfrogs": jnp.mean(
+                tree_stats["leapfrogs"].astype(carry.x.dtype)
+            ),
+            "accept_stat": jnp.mean(tree_stats["accept_stat"]),
         }
         if cfg.save_history:
             out["x_hist"] = x_new
@@ -362,6 +374,9 @@ def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
     accept_series = cat(outs["acceptance"], jnp.asarray(0.0, dtype))
     resampled = cat(outs["resampled"], jnp.asarray(False))
     step_series = cat(outs["step_size"], carry.step_size)
+    depth_series = cat(outs["tree_depth"], outs["tree_depth"][-1])
+    leapfrog_series = cat(outs["tree_leapfrogs"], outs["tree_leapfrogs"][-1])
+    accept_stat_series = cat(outs["accept_stat"], outs["accept_stat"][-1])
 
     x_saved = logw_saved = None
     if cfg.save_history:
@@ -386,6 +401,9 @@ def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
         logw_saved=logw_saved,
         x_final=carry.x,
         logw_final=carry.logw,
+        tree_depth=depth_series,
+        tree_leapfrogs=leapfrog_series,
+        accept_stat=accept_stat_series,
     )
 
 
