@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -60,8 +61,29 @@ def da_update(state: DualAveragingState, accept_stat, target=0.8,
     )
 
 
-def mass_matrix_from_particles(x, wn, floor=1e-6):
-    """Diagonal inverse mass = weighted particle variance (regularized)."""
+def mass_matrix_from_particles(x, wn, inv_mass_old, floor=1e-6, damping=0.5):
+    """Diagonal inverse mass from the weighted particle variance, smoothed
+    geometrically against the previous estimate (raw importance-weighted
+    variances from a mismatched initial proposal can be wildly off; damping
+    keeps the feedback loop stable)."""
     mean = wn @ x
-    var = wn @ jnp.square(x - mean)
-    return jnp.maximum(var, floor)
+    var = jnp.maximum(wn @ jnp.square(x - mean), floor)
+    return jnp.exp(
+        damping * jnp.log(var) + (1.0 - damping) * jnp.log(inv_mass_old)
+    )
+
+
+def mass_momentum_rvs(key, n, inv_mass, dtype):
+    """Draw momenta r ~ N(0, M) with M = diag(1/inv_mass), matching the
+    kinetic energy 0.5 r^T (inv_mass) r used by the NUTS integrator."""
+    d = inv_mass.shape[0]
+    eps = jax.random.normal(key, (n, d), dtype=dtype)
+    return eps / jnp.sqrt(inv_mass)[None, :]
+
+
+def mass_momentum_logpdf(r, inv_mass):
+    """Log density of N(0, diag(1/inv_mass)) at r (batched)."""
+    d = inv_mass.shape[0]
+    quad = jnp.sum(r * r * inv_mass[None, :], axis=1)
+    logdet = jnp.sum(jnp.log(inv_mass))
+    return -0.5 * quad + 0.5 * logdet - 0.5 * d * jnp.log(2.0 * jnp.pi)

@@ -44,6 +44,8 @@ from .ops.adaptation import (
     da_init,
     da_update,
     mass_matrix_from_particles,
+    mass_momentum_logpdf,
+    mass_momentum_rvs,
 )
 from .ops.lkernels import forward_lkernel_logpdf, gaussian_lkernel_logpdf
 from .ops.moments import estimate as constrained_estimate
@@ -113,8 +115,19 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             cfg.ess_threshold_frac, cfg.resampling,
         )
 
-        # 6: NUTS proposal at temperature phi.
-        r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
+        # 6: NUTS proposal at temperature phi. With mass-matrix adaptation
+        # the momenta MUST be drawn from N(0, M) matching the kinetic energy
+        # 0.5 r^T M^{-1} r, and the weight-update momentum densities must use
+        # the same distribution — otherwise the forward/L-kernel argument
+        # breaks and the weights degenerate.
+        if cfg.adapt_mass_matrix:
+            r = mass_momentum_rvs(k_mom, n, carry.inv_mass, carry.x.dtype)
+            momentum_logpdf = lambda rr: mass_momentum_logpdf(
+                rr, carry.inv_mass
+            )
+        else:
+            r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
+            momentum_logpdf = momentum_proposal.logpdf
         backend = cfg.nuts_backend
         if backend == "auto":
             backend = (
@@ -217,7 +230,7 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             # Non-tempered path evaluates the target at phi=1
             # (reference samples.py:183-196).
             if cfg.lkernel == "forwardsLKernel":
-                lk = forward_lkernel_logpdf(momentum_proposal.logpdf, r_new)
+                lk = forward_lkernel_logpdf(momentum_logpdf, r_new)
             else:
                 lk = gaussian_lkernel_logpdf(r_new, x_new)
             if not cfg.tempering:
@@ -233,7 +246,7 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 + logp_new_1
                 - logp_old_1
                 + lk
-                - momentum_proposal.logpdf(r)
+                - momentum_logpdf(r)
             )
 
         # 9: acceptance metric (post-resample pre-proposal vs proposed).
@@ -249,7 +262,9 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         inv_mass = carry.inv_mass
         if cfg.adapt_mass_matrix:
             wn_new, _ = normalise_weights(logw_new)
-            inv_mass = mass_matrix_from_particles(x_new, wn_new)
+            inv_mass = mass_matrix_from_particles(
+                x_new, wn_new, carry.inv_mass
+            )
 
         out = {
             "phi": phi,

@@ -1,0 +1,70 @@
+"""Adaptation quality: dual-averaging pulls the step size to a useful range,
+and mass-matrix adaptation measurably improves sampling on an
+ill-conditioned target (the reference lists adaptive tuning as future work,
+README.md:66-67; here it must actually work)."""
+
+import jax
+import numpy as np
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import make_gaussian
+from smcnuts_tpu.ops.adaptation import da_init, da_update
+
+MEAN = np.array([0.0, 0.0, 0.0])
+ILL_VAR = np.array([100.0, 1.0, 0.01])  # condition number 1e4
+
+
+def test_dual_averaging_targets_accept_stat():
+    state = da_init(1.0)
+    # Feed constant low acceptance: step size must shrink.
+    for _ in range(50):
+        state = da_update(state, 0.2, target=0.8)
+    assert float(np.exp(state.log_step)) < 0.5
+    # Constant high acceptance: step size must grow.
+    state = da_init(1.0)
+    for _ in range(50):
+        state = da_update(state, 0.99, target=0.8)
+    assert float(np.exp(state.log_step)) > 1.5
+
+
+def test_mass_matrix_cuts_leapfrog_cost():
+    """On an ill-conditioned target, NUTS with identity mass compensates with
+    deep trees; the adapted diagonal mass must reach the same estimate
+    quality with far fewer leapfrogs per iteration (measured: 40 vs 133).
+    This also exercises the mass-consistent momentum proposal: drawing
+    r ~ N(0, I) while integrating with M != I degenerates the forward
+    L-kernel weights (ESS collapses ~8x) — a bug this test would catch."""
+    model = make_gaussian(MEAN, ILL_VAR)
+    common = dict(
+        n_particles=256, n_iterations=12, step_size=0.05,
+        lkernel="forwardsLKernel", save_history=False, max_tree_depth=8,
+    )
+    res_plain = run_smc(
+        model, SMCConfig(**common), jax.random.key(0)
+    )
+    res_adapt = run_smc(
+        model, SMCConfig(**common, adapt_mass_matrix=True), jax.random.key(0)
+    )
+    err_plain = abs(float(res_plain.variance_estimate[-1][0]) - 100.0) / 100.0
+    err_adapt = abs(float(res_adapt.variance_estimate[-1][0]) - 100.0) / 100.0
+    assert err_adapt < 0.5, err_adapt
+    assert err_adapt < err_plain + 0.15, (err_adapt, err_plain)
+    # Weights must stay healthy (the broken-momentum failure mode).
+    assert float(res_adapt.ess[-1]) > 0.6 * 256
+    # And the adapted run must be much cheaper in gradient evaluations.
+    lf_plain = float(np.asarray(res_plain.tree_leapfrogs)[3:].mean())
+    lf_adapt = float(np.asarray(res_adapt.tree_leapfrogs)[3:].mean())
+    assert lf_adapt < 0.6 * lf_plain, (lf_adapt, lf_plain)
+
+
+def test_joint_adaptation_runs():
+    model = make_gaussian(MEAN, ILL_VAR)
+    cfg = SMCConfig(
+        n_particles=128, n_iterations=10, step_size=1.0,
+        lkernel="forwardsLKernel", save_history=False, max_tree_depth=6,
+        adapt_step_size=True, adapt_mass_matrix=True,
+    )
+    res = run_smc(model, cfg, jax.random.key(1))
+    assert np.all(np.isfinite(np.asarray(res.mean_estimate)))
+    # accept-stat should end near the 0.8 target once adapted.
+    assert 0.4 < float(res.accept_stat[-1]) <= 1.0
