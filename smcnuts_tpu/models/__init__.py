@@ -7,6 +7,7 @@ base.Model.
 
 from .arma import make_arma
 from .base import Model, make_logp_vg
+from .eightschools import make_eightschools
 from .gaussian import make_gaussian, tempered_moments
 from .prmwcd import make_prmwcd
 
@@ -14,6 +15,7 @@ _REGISTRY = {
     "arma": make_arma,
     "prmwcd": make_prmwcd,
     "PRMwCD": make_prmwcd,
+    "eightschools": make_eightschools,
 }
 
 
@@ -29,6 +31,7 @@ __all__ = [
     "make_logp_vg",
     "make_arma",
     "make_prmwcd",
+    "make_eightschools",
     "make_gaussian",
     "tempered_moments",
     "get_model",
