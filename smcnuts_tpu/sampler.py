@@ -495,6 +495,7 @@ class SMCSampler:
         self.log_likelihood = np.asarray(result.log_likelihood)
         self.phi = np.asarray(result.phi)
         self.acceptance_rate = np.asarray(result.acceptance_rate)
+        self.resampled = np.asarray(result.resampled).tolist()
         if result.x_saved is not None:
             self.x_saved = np.asarray(result.x_saved)
             self.logw_saved = np.asarray(result.logw_saved)
