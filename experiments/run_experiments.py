@@ -60,6 +60,10 @@ def main(argv=None):
     )
     p.add_argument("--output", default=None)
     p.add_argument("--seed0", type=int, default=10, help="run i uses seed0*(i+1)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the particle axis over all local devices")
+    p.add_argument("--nuts-backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
 
     model = get_model(args.model)
@@ -73,14 +77,23 @@ def main(argv=None):
           f"step_size={step_size}  runs={args.runs}")
     print(f"Devices: {jax.devices()}")
 
+    mesh = None
+    if args.mesh:
+        from smcnuts_tpu.parallel import particle_mesh
+
+        mesh = particle_mesh()
+
     fns = {}
     for name in args.strategies:
         cfg = SMCConfig(
             n_particles=args.particles, n_iterations=args.iterations,
             step_size=step_size, resampling=args.resampling,
-            max_tree_depth=args.max_tree_depth, **STRATEGIES[name],
+            max_tree_depth=args.max_tree_depth,
+            nuts_backend=args.nuts_backend, **STRATEGIES[name],
         )
-        fns[name] = jax.jit(lambda k, m=model, c=cfg: run_smc(m, c, k))
+        fns[name] = jax.jit(
+            lambda k, m=model, c=cfg: run_smc(m, c, k, mesh=mesh)
+        )
 
     timings = {name: [] for name in args.strategies}
     for i in range(args.runs):

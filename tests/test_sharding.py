@@ -83,6 +83,35 @@ def test_gather_across_shards(mesh):
     np.testing.assert_array_equal(np.asarray(got), expected)
 
 
+def test_gaussian_lkernel_sharded(mesh):
+    """The Gaussian optimal-L approximation's population mean/cov reduce
+    across shards (psums under GSPMD); sharded == unsharded numerically."""
+    from smcnuts_tpu.ops import gaussian_lkernel_logpdf
+
+    rng = np.random.default_rng(5)
+    x_new = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+    r_new = jnp.asarray(
+        0.4 * np.asarray(x_new) + rng.normal(size=(128, 3)), jnp.float32
+    )
+    ref = jax.jit(gaussian_lkernel_logpdf)(r_new, x_new)
+    xs = jax.device_put(x_new, particle_sharding(mesh))
+    rs = jax.device_put(r_new, particle_sharding(mesh))
+    got = jax.jit(gaussian_lkernel_logpdf)(rs, xs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sharded_gaussian_lkernel_run(mesh):
+    model = make_gaussian(MEAN, VAR)
+    cfg = SMCConfig(
+        n_particles=128, n_iterations=4, step_size=0.5,
+        lkernel="GaussianApproxLKernel", save_history=False,
+    )
+    res = jax.jit(lambda k: run_smc(model, cfg, k, mesh=mesh))(jax.random.key(4))
+    assert np.all(np.isfinite(np.asarray(res.mean_estimate)))
+
+
 def test_tempered_sharded_run(mesh):
     model = make_gaussian(MEAN, VAR, prior_var=np.ones(2))
     cfg = SMCConfig(
