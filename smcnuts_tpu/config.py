@@ -40,6 +40,14 @@ class SMCConfig:
     nuts_backend: str = "auto"
 
     def __post_init__(self):
+        if self.n_particles < 1:
+            raise ValueError(f"n_particles must be >= 1, got {self.n_particles}")
+        if self.n_iterations < 1:
+            raise ValueError(
+                f"n_iterations must be >= 1, got {self.n_iterations}"
+            )
+        if self.step_size <= 0:
+            raise ValueError(f"step_size must be > 0, got {self.step_size}")
         if self.lkernel not in LKERNELS:
             raise ValueError(
                 f"Unknown L-kernel '{self.lkernel}'; expected one of {LKERNELS}"
