@@ -33,10 +33,9 @@ class SMCConfig:
     target_accept: float = 0.8  # dual-averaging target acceptance
     dtype: str = "float32"
     # NUTS execution backend: "xla" (vmapped while-loops; any model),
-    # "pallas" (whole tree in one TPU kernel; requires model.tile_model and
-    # an identity mass matrix — ops/nuts_pallas.py; measured 2.5x on arma),
-    # or "auto" (pallas when running on TPU and the model provides a tile
-    # kernel, xla otherwise).
+    # "pallas" (whole tree in one TPU kernel; requires model.tile_model —
+    # ops/nuts_pallas.py; measured 2.5x on arma), or "auto" (pallas when
+    # running on TPU and the model provides a tile kernel, xla otherwise).
     nuts_backend: str = "auto"
 
     def __post_init__(self):
@@ -60,11 +59,6 @@ class SMCConfig:
         if self.nuts_backend not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"Unknown nuts_backend '{self.nuts_backend}'"
-            )
-        if self.nuts_backend == "pallas" and self.adapt_mass_matrix:
-            raise ValueError(
-                "nuts_backend='pallas' supports only the identity mass "
-                "matrix; disable adapt_mass_matrix or use the xla backend"
             )
         if self.lkernel == "asymptoticLKernel" and not self.save_history:
             raise ValueError(

@@ -82,8 +82,8 @@ def _uniform(shape):
 
 
 def _nuts_kernel(
-    seed_ref, phi_ref, eps_ref, nvalid_ref, x_ref, r_ref, *rest, tile_fn,
-    D, max_depth, n_extra,
+    seed_ref, phi_ref, eps_ref, im_ref, nvalid_ref, x_ref, r_ref, *rest,
+    tile_fn, D, max_depth, n_extra,
 ):
     extra_refs = rest[:n_extra]
     (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
@@ -92,6 +92,10 @@ def _nuts_kernel(
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(1000003))
     phi = phi_ref[0]
     eps = eps_ref[0]
+    # Diagonal inverse mass matrix (identity in the reference, nuts.py:67):
+    # kinetic energy 0.5 r^T M^{-1} r, drift x += eps * M^{-1} r, U-turn
+    # criterion on velocities M^{-1} r — same math as ops/nuts.py.
+    im = [im_ref[d] for d in range(D)]
 
     shape = (_SUBLANES, _LANES)
 
@@ -108,7 +112,7 @@ def _nuts_kernel(
     def ke(r_tiles):
         acc = f0
         for d in range(D):
-            acc = acc + r_tiles[d] * r_tiles[d]
+            acc = acc + im[d] * r_tiles[d] * r_tiles[d]
         return 0.5 * acc
     logp0, g0 = model(x0)
     H0 = logp0 - ke(r0)
@@ -150,7 +154,7 @@ def _nuts_kernel(
 
             deps = direction * eps
             r_half = [r[d] + 0.5 * deps * g[d] for d in range(D)]
-            x1 = [x[d] + deps * r_half[d] for d in range(D)]
+            x1 = [x[d] + deps * im[d] * r_half[d] for d in range(D)]
             lp1, g1 = model(x1)
             r1 = [r_half[d] + 0.5 * deps * g1[d] for d in range(D)]
 
@@ -204,8 +208,8 @@ def _nuts_kernel(
                 v_lf = f0
                 for d in range(D):
                     dx = direction * (x1[d] - ck_x[slot, d])
-                    v_ck = v_ck + dx * ck_r[slot, d]
-                    v_lf = v_lf + dx * r1[d]
+                    v_ck = v_ck + dx * im[d] * ck_r[slot, d]
+                    v_lf = v_lf + dx * im[d] * r1[d]
                 turned = turned | (in_range & ((v_ck < 0) | (v_lf < 0)))
 
             sstop = jnp.maximum(
@@ -254,8 +258,8 @@ def _nuts_kernel(
         v_p = f0
         for d in range(D):
             dx = xp[d] - xm[d]
-            v_m = v_m + dx * rm[d]
-            v_p = v_p + dx * rp[d]
+            v_m = v_m + dx * im[d] * rm[d]
+            v_p = v_p + dx * im[d] * rp[d]
         turned_g = (v_m < 0) | (v_p < 0)
         stop = stop | (active & ((sstop > 0.5) | turned_g))
         depth_done = depth_done + active.astype(jnp.float32)
@@ -271,12 +275,14 @@ def _nuts_kernel(
 
 
 def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
-                      max_depth=MAX_TREE_DEPTH, interpret=False):
+                      inv_mass=None, max_depth=MAX_TREE_DEPTH,
+                      interpret=False):
     """Run the fused NUTS kernel over (N, D) particles.
 
     Returns (x_new, r_new, stats) mirroring ops/nuts.nuts_batch — stats hold
     f32 per-particle depth/leapfrogs/accept_stat plus the cached endpoint
-    log-densities (logp0, logp_prop).
+    log-densities (logp0, logp_prop). `inv_mass` is an optional (D,) diagonal
+    inverse mass matrix (None = identity), with ops/nuts.py semantics.
     """
     D = tile_model.dim
     n = x.shape[0]
@@ -292,6 +298,10 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     phi_arr = jnp.asarray(phi, jnp.float32).reshape(1)
     eps_arr = jnp.asarray(step_size, jnp.float32).reshape(1)
+    if inv_mass is None:
+        im_arr = jnp.ones((D,), jnp.float32)
+    else:
+        im_arr = jnp.asarray(inv_mass, jnp.float32).reshape(D)
     nvalid_arr = jnp.asarray(n, jnp.int32).reshape(1)
 
     tile_spec = pl.BlockSpec(
@@ -322,6 +332,7 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # phi
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv mass diag
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n valid
             tile_spec,  # x
             tile_spec,  # r
@@ -344,7 +355,8 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
         ],
         # TPU-semantics interpreter (supports the TPU PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, phi_arr, eps_arr, nvalid_arr, x_t, r_t, *tile_model.extra)
+    )(seed_arr, phi_arr, eps_arr, im_arr, nvalid_arr, x_t, r_t,
+      *tile_model.extra)
 
     x_new_t, r_new_t, lp0, lp, astat, depth, leaps = outs
 

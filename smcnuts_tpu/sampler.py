@@ -134,7 +134,6 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 "pallas"
                 if model.tile_model is not None
                 and jax.default_backend() == "tpu"
-                and not cfg.adapt_mass_matrix
                 else "xla"
             )
         if backend == "pallas":
@@ -150,7 +149,7 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             )
             base_kernel = lambda xx, rr, sd: nuts_batch_pallas(
                 model.tile_model, xx, rr, sd, carry.step_size, phi,
-                max_depth=cfg.max_tree_depth,
+                inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
             )
             kernel_call = base_kernel
             if mesh is not None:

@@ -116,6 +116,33 @@ def test_inkernel_gradients_via_depth0_leapfrog(model_name):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r_exp), atol=1e-5)
 
 
+def test_depth0_leapfrog_with_mass_matrix():
+    """Non-identity diagonal inverse mass: the depth-0 tree is one leapfrog
+    with drift x += eps * M^{-1} r_half, checked against hand math (same
+    semantics as ops/nuts.py:_leapfrog)."""
+    from smcnuts_tpu.models import get_model
+
+    m = get_model("arma")
+    n, D = 16, m.dim
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 0.3, (n, D)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+    inv_mass = jnp.asarray([0.5, 2.0, 1.5, 0.25], jnp.float32)
+    phi, eps = 1.0, 0.01
+    x1, r1, _ = nuts_batch_pallas(
+        m.tile_model, x, r, seed=0, step_size=eps, phi=phi,
+        inv_mass=inv_mass, max_depth=0, interpret=True,
+    )
+    vg = jax.vmap(jax.value_and_grad(lambda t: m.logp(t, phi)))
+    _, g0 = vg(x)
+    r_half = r + 0.5 * eps * g0
+    x_exp = x + eps * inv_mass[None, :] * r_half
+    _, g1 = vg(x_exp)
+    r_exp = r_half + 0.5 * eps * g1
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x_exp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r_exp), atol=1e-5)
+
+
 def test_shard_map_multi_device(setup):
     """The whole-tree kernel composes with shard_map over the particle mesh:
     each device runs the kernel on its shard (interpret mode here; the real
