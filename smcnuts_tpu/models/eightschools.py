@@ -24,6 +24,53 @@ Y = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
 SIGMA = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
 
 
+def _tile_model(y, sig):
+    """Whole-tree Pallas backend plug-in: elementwise tile log-density with
+    in-kernel autodiff gradients (ops/nuts_pallas.elementwise_tile_model).
+    Same density as logprior + phi*loglik below; J is small so the data loop
+    is Python-unrolled over preloaded SMEM scalars."""
+    import numpy as np
+
+    from ..ops.nuts_pallas import elementwise_tile_model
+
+    J = int(y.shape[0])
+    LOG_SQRT_2PI = float(0.5 * np.log(2.0 * np.pi))
+    LOG_PI = float(np.log(np.pi))
+
+    def preload(refs):
+        y_ref, s_ref = refs
+        ys = [y_ref[j] for j in range(J)]
+        ss = [s_ref[j] for j in range(J)]
+        log_ss = [jnp.log(s) for s in ss]
+        return ys, ss, log_ss
+
+    def logp_tiles(vals, xt, phi):
+        ys, ss, log_ss = vals
+        mu, log_tau = xt[0], xt[1]
+        tau = jnp.exp(log_tau)
+        zmu = mu / 5.0
+        lp = -0.5 * zmu * zmu - (np.log(5.0) + LOG_SQRT_2PI)
+        zt = tau / 5.0
+        lp = lp + (
+            -LOG_PI - np.log(5.0) - jnp.log1p(zt * zt)
+            + np.log(2.0) + log_tau
+        )
+        ll = lp * 0.0  # materialized zero (Mosaic layout)
+        for j in range(J):
+            tt = xt[2 + j]
+            lp = lp - 0.5 * tt * tt - LOG_SQRT_2PI
+            z = (ys[j] - mu - tau * tt) / ss[j]
+            ll = ll - 0.5 * z * z - log_ss[j] - LOG_SQRT_2PI
+        return lp + phi * ll
+
+    return elementwise_tile_model(
+        2 + J,
+        (jnp.asarray(y, jnp.float32), jnp.asarray(sig, jnp.float32)),
+        logp_tiles,
+        preload,
+    )
+
+
 def make_eightschools(y=None, sigma=None) -> Model:
     y = jnp.asarray(Y if y is None else y, dtype=float)
     sig = jnp.asarray(SIGMA if sigma is None else sigma, dtype=float)
@@ -53,6 +100,7 @@ def make_eightschools(y=None, sigma=None) -> Model:
         return jnp.concatenate([jnp.stack([mu, tau]), effects])
 
     return Model(
+        tile_model=_tile_model(y, sig),
         name="eightschools",
         dim=2 + J,
         constrained_dim=2 + J,

@@ -52,7 +52,39 @@ def make_gaussian(mean, var, prior_var=None) -> Model:
     def constrain(theta):
         return theta
 
+    # Whole-tree Pallas backend plug-in via in-kernel autodiff (see
+    # ops/nuts_pallas.elementwise_tile_model). Tempered density matches
+    # logprior + phi*loglik exactly: (1-phi)*logprior + phi*log target.
+    import numpy as np
+
+    from ..ops.nuts_pallas import elementwise_tile_model
+
+    mean_f = np.asarray(mean, np.float32)
+    var_f = np.asarray(var, np.float32)
+    pvar_f = None if prior_var is None else np.asarray(prior_var, np.float32)
+    log_var_sum = float(np.sum(np.log(var_f)))
+    const_t = float(-0.5 * log_var_sum - D * LOG_SQRT_2PI)
+    if pvar_f is not None:
+        const_p = float(-0.5 * np.sum(np.log(pvar_f)) - D * LOG_SQRT_2PI)
+
+    def logp_tiles(vals, xt, phi):
+        lt = xt[0] * 0.0  # materialized zero (Mosaic layout)
+        for d in range(D):
+            dx = xt[d] - float(mean_f[d])
+            lt = lt - 0.5 * dx * dx / float(var_f[d])
+        lt = lt + const_t
+        if pvar_f is None:
+            return lt + phi * 0.0
+        lp = xt[0] * 0.0
+        for d in range(D):
+            lp = lp - 0.5 * xt[d] * xt[d] / float(pvar_f[d])
+        lp = lp + const_p
+        return lp + phi * (lt - lp)
+
+    tile_model = elementwise_tile_model(D, (), logp_tiles)
+
     return Model(
+        tile_model=tile_model,
         name="gaussian",
         dim=D,
         constrained_dim=D,

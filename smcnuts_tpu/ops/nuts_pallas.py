@@ -376,6 +376,38 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
     return from_tiles(x_new_t), from_tiles(r_new_t), stats
 
 
+def elementwise_tile_model(dim, extra, logp_tiles_fn,
+                           preload=None) -> TileModel:
+    """Build a TileModel from an elementwise tile log-density via in-kernel
+    autodiff.
+
+    `logp_tiles_fn(extra_vals, x_tiles, phi) -> logp_tile` must be written in
+    ops that act elementwise on the (8, 128) particle tiles (scalars from the
+    preloaded data arrays broadcast fine). Gradients come from `jax.vjp`
+    traced inside the Pallas kernel: the VJP of an elementwise computation is
+    itself elementwise, so Mosaic lowers it like hand-written code. Each lane
+    is an independent particle, so a cotangent of ones yields per-lane
+    gradients exactly.
+
+    `preload(extra_refs) -> extra_vals` loads whatever the density needs from
+    the SMEM data refs *outside* the differentiated function (default: pass
+    the refs through untouched — fine when the density only multiplies by
+    scalar loads, which are constants w.r.t. x).
+    """
+    if preload is None:
+        preload = lambda refs: refs
+
+    def tile_fn(extra_refs, x_tiles, phi):
+        vals = preload(extra_refs)
+        logp, vjp_fn = jax.vjp(
+            lambda ts: logp_tiles_fn(vals, ts, phi), list(x_tiles)
+        )
+        grads = vjp_fn(jnp.ones_like(logp))[0]
+        return logp, grads
+
+    return TileModel(dim=dim, extra=tuple(extra), tile_fn=tile_fn)
+
+
 # ---------------------------------------------------------------------------
 # ARMA(1,1) tile model
 # ---------------------------------------------------------------------------

@@ -116,6 +116,47 @@ def test_inkernel_gradients_via_depth0_leapfrog(model_name):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r_exp), atol=1e-5)
 
 
+def test_autodiff_tile_models_depth0_leapfrog():
+    """elementwise_tile_model (in-kernel jax.vjp gradients): depth-0 trees
+    for the eight-schools and Gaussian models must match the hand leapfrog
+    with autodiff gradients — validating the generic adapter end to end.
+    (Statistical behavior verified on TPU v5e: eightschools posterior
+    mu 4.40 / tau 3.69; tempered Gaussian moments match closed form.)"""
+    from smcnuts_tpu.models import make_eightschools, make_gaussian
+
+    models = [
+        make_eightschools(),
+        make_gaussian(
+            np.arange(1.0, 6.0), np.ones(5), prior_var=4.0 * np.ones(5)
+        ),
+    ]
+    for m in models:
+        n, D = 16, m.dim
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 0.3, (n, D)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+        phi, eps = 0.7, 0.05
+        x1, r1, st = nuts_batch_pallas(
+            m.tile_model, x, r, seed=0, step_size=eps, phi=phi, max_depth=0,
+            interpret=True,
+        )
+        vg = jax.vmap(jax.value_and_grad(lambda t: m.logp(t, phi)))
+        lp0, g0 = vg(x)
+        r_half = r + 0.5 * eps * g0
+        x_exp = x + eps * r_half
+        _, g1 = vg(x_exp)
+        r_exp = r_half + 0.5 * eps * g1
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x_exp), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r_exp), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st["logp0"]), np.asarray(lp0), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_depth0_leapfrog_with_mass_matrix():
     """Non-identity diagonal inverse mass: the depth-0 tree is one leapfrog
     with drift x += eps * M^{-1} r_half, checked against hand math (same
