@@ -26,7 +26,17 @@ BASELINE_N = 8
 BASELINE_K = 2
 
 
+N_RUNS = 10  # independent SMC runs per dispatch (see measure_tpu docstring)
+
+
 def measure_tpu():
+    """Throughput over N_RUNS independent full SMC runs executed in ONE
+    device dispatch (lax.map over seeds). A single dispatch over the axon
+    relay carries ~25 ms of host<->chip round-trip latency — 2x the actual
+    device time of the whole reference-config run — so per-run wall time
+    measures the link, not the chip. Amortizing over a batch of runs inside
+    one program reports what the chip sustains (the production shape: many
+    Monte-Carlo runs, as in the reference's 25-run experiment driver)."""
     from smcnuts_tpu import SMCConfig, run_smc
     from smcnuts_tpu.models import make_arma
 
@@ -35,16 +45,22 @@ def measure_tpu():
         n_particles=N, n_iterations=K, step_size=STEP,
         lkernel="forwardsLKernel", save_history=False,
     )
-    f = jax.jit(lambda k: run_smc(model, cfg, k))
+
+    def one(key):
+        r = run_smc(model, cfg, key)
+        return r.mean_estimate[-1], r.ess[-1]
+
+    f = jax.jit(lambda keys: jax.lax.map(one, keys))
+    keys = jax.random.split(jax.random.key(0), N_RUNS)
     # Compile + warm up.
-    jax.block_until_ready(f(jax.random.key(0)))
+    jax.block_until_ready(f(keys))
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(jax.random.key(i + 1)))
+        jax.block_until_ready(f(keys))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return N * K / best, best
+    return N_RUNS * N * K / best, best
 
 
 def measure_baseline():

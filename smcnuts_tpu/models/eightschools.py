@@ -27,8 +27,9 @@ SIGMA = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
 def _tile_model(y, sig):
     """Whole-tree Pallas backend plug-in: elementwise tile log-density with
     in-kernel autodiff gradients (ops/nuts_pallas.elementwise_tile_model).
-    Same density as logprior + phi*loglik below; J is small so the data loop
-    is Python-unrolled over preloaded SMEM scalars."""
+    Same density as logprior + phi*loglik below; the data are static, so they
+    are baked in as immediate constants and the J-loop Python-unrolled (no
+    SMEM loads — straight-line vector code)."""
     import numpy as np
 
     from ..ops.nuts_pallas import elementwise_tile_model
@@ -36,16 +37,11 @@ def _tile_model(y, sig):
     J = int(y.shape[0])
     LOG_SQRT_2PI = float(0.5 * np.log(2.0 * np.pi))
     LOG_PI = float(np.log(np.pi))
-
-    def preload(refs):
-        y_ref, s_ref = refs
-        ys = [y_ref[j] for j in range(J)]
-        ss = [s_ref[j] for j in range(J)]
-        log_ss = [jnp.log(s) for s in ss]
-        return ys, ss, log_ss
+    ys = [float(v) for v in np.asarray(y, np.float32)]
+    ss = [float(v) for v in np.asarray(sig, np.float32)]
+    log_ss = [float(np.log(s)) for s in ss]
 
     def logp_tiles(vals, xt, phi):
-        ys, ss, log_ss = vals
         mu, log_tau = xt[0], xt[1]
         tau = jnp.exp(log_tau)
         zmu = mu / 5.0
@@ -63,12 +59,7 @@ def _tile_model(y, sig):
             ll = ll - 0.5 * z * z - log_ss[j] - LOG_SQRT_2PI
         return lp + phi * ll
 
-    return elementwise_tile_model(
-        2 + J,
-        (jnp.asarray(y, jnp.float32), jnp.asarray(sig, jnp.float32)),
-        logp_tiles,
-        preload,
-    )
+    return elementwise_tile_model(2 + J, (), logp_tiles)
 
 
 def make_eightschools(y=None, sigma=None) -> Model:
