@@ -36,7 +36,10 @@ def measure_tpu():
     device time of the whole reference-config run — so per-run wall time
     measures the link, not the chip. Amortizing over a batch of runs inside
     one program reports what the chip sustains (the production shape: many
-    Monte-Carlo runs, as in the reference's 25-run experiment driver)."""
+    Monte-Carlo runs, as in the reference's 25-run experiment driver). The
+    batch is jax.vmap'd: the NUTS kernel's custom_vmap rule collapses all
+    runs into one multi-run kernel launch per iteration, and the SMC
+    epilogue ops vectorize across runs."""
     from smcnuts_tpu import SMCConfig, run_smc
     from smcnuts_tpu.models import make_arma
 
@@ -50,7 +53,7 @@ def measure_tpu():
         r = run_smc(model, cfg, key)
         return r.mean_estimate[-1], r.ess[-1]
 
-    f = jax.jit(lambda keys: jax.lax.map(one, keys))
+    f = jax.jit(jax.vmap(one))
     keys = jax.random.split(jax.random.key(0), N_RUNS)
     # Compile + warm up.
     jax.block_until_ready(f(keys))

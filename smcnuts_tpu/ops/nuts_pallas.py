@@ -89,21 +89,29 @@ def _nuts_kernel(
     (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
      ck_x, ck_r) = rest[n_extra:]
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(1000003))
-    phi = phi_ref[0]
-    eps = eps_ref[0]
+    # Grid is (B, nblk): axis 0 indexes independent runs (batched SMC runs
+    # under jax.vmap share one kernel launch), axis 1 the particle blocks of
+    # each run. Run-level parameters (seed, phi, eps, inv mass) are SMEM
+    # arrays indexed by the run id.
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    pltpu.prng_seed(
+        seed_ref[b] + blk * jnp.int32(1000003) + b * jnp.int32(7919)
+    )
+    phi = phi_ref[b]
+    eps = eps_ref[b]
     # Diagonal inverse mass matrix (identity in the reference, nuts.py:67):
     # kinetic energy 0.5 r^T M^{-1} r, drift x += eps * M^{-1} r, U-turn
     # criterion on velocities M^{-1} r — same math as ops/nuts.py.
-    im = [im_ref[d] for d in range(D)]
+    im = [im_ref[b, d] for d in range(D)]
 
     shape = (_SUBLANES, _LANES)
 
     def model(x_tiles):
         return tile_fn(extra_refs, x_tiles, phi)
 
-    x0 = [x_ref[0, d] for d in range(D)]
-    r0 = [r_ref[0, d] for d in range(D)]
+    x0 = [x_ref[0, 0, d] for d in range(D)]
+    r0 = [r_ref[0, 0, d] for d in range(D)]
     # Materialized zero tile: splat-constant zeros get a replicated vector
     # layout in Mosaic, which cannot be carried through while loops whose
     # bodies produce materialized layouts ("Invalid relayout" otherwise).
@@ -127,7 +135,7 @@ def _nuts_kernel(
     # extra leaf-loop trips for their block.
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    pidx = pl.program_id(0) * jnp.int32(_BLOCK) + row * jnp.int32(_LANES) + col
+    pidx = blk * jnp.int32(_BLOCK) + row * jnp.int32(_LANES) + col
     stop = pidx >= nvalid_ref[0]
     alpha_sum = f0
     alpha_cnt = f0
@@ -265,27 +273,22 @@ def _nuts_kernel(
         depth_done = depth_done + active.astype(jnp.float32)
 
     for d in range(D):
-        x_out[0, d] = xs[d]
-        r_out[0, d] = rs[d]
-    logp0_out[0] = logp0
-    lp_out[0] = lps
-    astat_out[0] = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
-    depth_out[0] = depth_done
-    leaf_out[0] = lf_cnt + 1.0
+        x_out[0, 0, d] = xs[d]
+        r_out[0, 0, d] = rs[d]
+    logp0_out[0, 0] = logp0
+    lp_out[0, 0] = lps
+    astat_out[0, 0] = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
+    depth_out[0, 0] = depth_done
+    leaf_out[0, 0] = lf_cnt + 1.0
 
 
-def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
-                      inv_mass=None, max_depth=MAX_TREE_DEPTH,
-                      interpret=False):
-    """Run the fused NUTS kernel over (N, D) particles.
-
-    Returns (x_new, r_new, stats) mirroring ops/nuts.nuts_batch — stats hold
-    f32 per-particle depth/leapfrogs/accept_stat plus the cached endpoint
-    log-densities (logp0, logp_prop). `inv_mass` is an optional (D,) diagonal
-    inverse mass matrix (None = identity), with ops/nuts.py semantics.
-    """
+def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
+                         inv_mass, max_depth, interpret):
+    """Batched core: x, r are (B, N, D); seed (B,) int32; step_size, phi
+    (B,) f32; inv_mass (B, D) f32. One kernel launch covers all B runs via a
+    (B, nblk) grid."""
     D = tile_model.dim
-    n = x.shape[0]
+    B, n = x.shape[0], x.shape[1]
     n_pad = -(-n // _BLOCK) * _BLOCK
     nblk = n_pad // _BLOCK
 
@@ -293,28 +296,27 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
         ap = jnp.zeros((n_pad, D), jnp.float32).at[:n].set(a)
         return ap.T.reshape(D, nblk, _SUBLANES, _LANES).transpose(1, 0, 2, 3)
 
-    x_t = to_tiles(x)
-    r_t = to_tiles(r)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    phi_arr = jnp.asarray(phi, jnp.float32).reshape(1)
-    eps_arr = jnp.asarray(step_size, jnp.float32).reshape(1)
-    if inv_mass is None:
-        im_arr = jnp.ones((D,), jnp.float32)
-    else:
-        im_arr = jnp.asarray(inv_mass, jnp.float32).reshape(D)
+    x_t = jax.vmap(to_tiles)(x)
+    r_t = jax.vmap(to_tiles)(r)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(B)
+    phi_arr = jnp.asarray(phi, jnp.float32).reshape(B)
+    eps_arr = jnp.asarray(step_size, jnp.float32).reshape(B)
+    im_arr = jnp.asarray(inv_mass, jnp.float32).reshape(B, D)
     nvalid_arr = jnp.asarray(n, jnp.int32).reshape(1)
 
     tile_spec = pl.BlockSpec(
-        (1, D, _SUBLANES, _LANES), lambda i: (i, 0, 0, 0),
+        (1, 1, D, _SUBLANES, _LANES), lambda b, i: (b, i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     flat_spec = pl.BlockSpec(
-        (1, _SUBLANES, _LANES), lambda i: (i, 0, 0),
+        (1, 1, _SUBLANES, _LANES), lambda b, i: (b, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    flat_shape = jax.ShapeDtypeStruct((nblk, _SUBLANES, _LANES), jnp.float32)
+    flat_shape = jax.ShapeDtypeStruct(
+        (B, nblk, _SUBLANES, _LANES), jnp.float32
+    )
     tile_shape = jax.ShapeDtypeStruct(
-        (nblk, D, _SUBLANES, _LANES), jnp.float32
+        (B, nblk, D, _SUBLANES, _LANES), jnp.float32
     )
 
     kernel = partial(
@@ -327,12 +329,12 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nblk,),
+        grid=(B, nblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv mass diag
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # phi (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv mass diag (B, D)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n valid
             tile_spec,  # x
             tile_spec,  # r
@@ -367,13 +369,85 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
         return a.reshape(n_pad)[:n]
 
     stats = {
-        "logp0": from_flat(lp0),
-        "logp_prop": from_flat(lp),
-        "accept_stat": from_flat(astat),
-        "depth": from_flat(depth),
-        "leapfrogs": from_flat(leaps),
+        "logp0": jax.vmap(from_flat)(lp0),
+        "logp_prop": jax.vmap(from_flat)(lp),
+        "accept_stat": jax.vmap(from_flat)(astat),
+        "depth": jax.vmap(from_flat)(depth),
+        "leapfrogs": jax.vmap(from_flat)(leaps),
     }
-    return from_tiles(x_new_t), from_tiles(r_new_t), stats
+    return jax.vmap(from_tiles)(x_new_t), jax.vmap(from_tiles)(r_new_t), stats
+
+
+def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool):
+    """custom_vmap wrapper: jax.vmap over (x, r, seed, step_size, phi,
+    inv_mass) lowers to ONE batched kernel launch with a (B, nblk) grid —
+    B independent SMC runs (e.g. Monte-Carlo replicas) share the device
+    without serializing (pallas_call has no generic batching rule, and the
+    runs would otherwise lax.map sequentially)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(x, r, seed, step_size, phi, inv_mass):
+        x1, r1, stats = _nuts_pallas_batched(
+            tile_model, x[None], r[None], seed.reshape(1),
+            step_size.reshape(1), phi.reshape(1), inv_mass[None],
+            max_depth, interpret,
+        )
+        return x1[0], r1[0], {k: v[0] for k, v in stats.items()}
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x, r, seed, step_size, phi, inv_mass):
+        xb, rb, sb, eb, pb, mb = in_batched
+
+        def bcast(v, batched):
+            if batched:
+                return v
+            return jnp.broadcast_to(v, (axis_size,) + jnp.shape(v))
+
+        x1, r1, stats = _nuts_pallas_batched(
+            tile_model,
+            bcast(x, xb), bcast(r, rb), bcast(seed, sb),
+            bcast(step_size, eb), bcast(phi, pb), bcast(inv_mass, mb),
+            max_depth, interpret,
+        )
+        out_batched = (True, True, {k: True for k in stats})
+        return (x1, r1, stats), out_batched
+
+    return fn
+
+
+_VMAPPABLE_CACHE: dict = {}
+
+
+def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
+                      inv_mass=None, max_depth=MAX_TREE_DEPTH,
+                      interpret=False):
+    """Run the fused NUTS kernel over (N, D) particles.
+
+    Returns (x_new, r_new, stats) mirroring ops/nuts.nuts_batch — stats hold
+    f32 per-particle depth/leapfrogs/accept_stat plus the cached endpoint
+    log-densities (logp0, logp_prop). `inv_mass` is an optional (D,) diagonal
+    inverse mass matrix (None = identity), with ops/nuts.py semantics.
+
+    The call is vmappable (over x/r/seed/step_size/phi/inv_mass): batched
+    calls collapse into a single multi-run kernel launch, so
+    `jax.vmap(run_smc)` over seeds runs B Monte-Carlo replicas concurrently
+    on one chip.
+    """
+    D = tile_model.dim
+    key = (id(tile_model), max_depth, bool(interpret))
+    fn = _VMAPPABLE_CACHE.get(key)
+    if fn is None:
+        fn = _make_vmappable(tile_model, max_depth, interpret)
+        _VMAPPABLE_CACHE[key] = fn
+    if inv_mass is None:
+        inv_mass = jnp.ones((D,), jnp.float32)
+    return fn(
+        x, r,
+        jnp.asarray(seed, jnp.int32),
+        jnp.asarray(step_size, jnp.float32),
+        jnp.asarray(phi, jnp.float32),
+        jnp.asarray(inv_mass, jnp.float32),
+    )
 
 
 def elementwise_tile_model(dim, extra, logp_tiles_fn,
