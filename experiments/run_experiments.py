@@ -64,7 +64,14 @@ def main(argv=None):
                    help="shard the particle axis over all local devices")
     p.add_argument("--nuts-backend", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--vmap-runs", action="store_true",
+                   help="run ALL Monte-Carlo runs batched in one device "
+                   "dispatch per strategy (jax.vmap over seeds; the NUTS "
+                   "kernel collapses the batch into one multi-run launch). "
+                   "Much faster; incompatible with --mesh.")
     args = p.parse_args(argv)
+    if args.vmap_runs and args.mesh:
+        p.error("--vmap-runs and --mesh are mutually exclusive")
 
     model = get_model(args.model)
     step_size = args.step_size or default_step_size(args.model)
@@ -96,26 +103,55 @@ def main(argv=None):
         )
 
     timings = {name: [] for name in args.strategies}
-    for i in range(args.runs):
-        seed = args.seed0 * (i + 1)
+    if args.vmap_runs:
+        keys = jax.numpy.stack(
+            [jax.random.key(args.seed0 * (i + 1)) for i in range(args.runs)]
+        )
         for name in args.strategies:
+            batched = jax.jit(jax.vmap(fns[name]))
+            jax.block_until_ready(batched(keys))  # compile
             t0 = time.time()
-            result = jax.block_until_ready(fns[name](jax.random.key(seed)))
+            results = jax.block_until_ready(batched(keys))
             dt = time.time() - t0
-            timings[name].append(dt)
-            save_run_csvs(result, name, i, output_dir)
-            print(f"run {i + 1}/{args.runs} {name}: {dt:.3f}s  "
-                  f"phi[0]={float(result.phi[0]):.3f}  "
-                  f"ess[-1]={float(result.ess[-1]):.1f}")
-
-    summary = {
-        name: {
-            "mean_run_s": sum(t[1:]) / max(len(t) - 1, 1),  # skip compile run
-            "particle_iters_per_s": args.particles * args.iterations
-            / (sum(t[1:]) / max(len(t) - 1, 1)) if len(t) > 1 else None,
+            timings[name] = [dt / args.runs] * args.runs
+            for i in range(args.runs):
+                run_i = jax.tree.map(
+                    lambda a: a[i] if hasattr(a, "shape") else a, results
+                )
+                save_run_csvs(run_i, name, i, output_dir)
+            print(f"{name}: {args.runs} runs batched in {dt:.3f}s "
+                  f"({dt / args.runs:.4f}s/run)")
+        summary = {
+            name: {
+                "mean_run_s": t[0],
+                "particle_iters_per_s": args.particles * args.iterations
+                / t[0],
+            }
+            for name, t in timings.items()
         }
-        for name, t in timings.items()
-    }
+    else:
+        for i in range(args.runs):
+            seed = args.seed0 * (i + 1)
+            for name in args.strategies:
+                t0 = time.time()
+                result = jax.block_until_ready(
+                    fns[name](jax.random.key(seed))
+                )
+                dt = time.time() - t0
+                timings[name].append(dt)
+                save_run_csvs(result, name, i, output_dir)
+                print(f"run {i + 1}/{args.runs} {name}: {dt:.3f}s  "
+                      f"phi[0]={float(result.phi[0]):.3f}  "
+                      f"ess[-1]={float(result.ess[-1]):.1f}")
+
+        summary = {
+            name: {
+                "mean_run_s": sum(t[1:]) / max(len(t) - 1, 1),  # skip compile
+                "particle_iters_per_s": args.particles * args.iterations
+                / (sum(t[1:]) / max(len(t) - 1, 1)) if len(t) > 1 else None,
+            }
+            for name, t in timings.items()
+        }
     with open(os.path.join(output_dir, "timings.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1))
