@@ -201,18 +201,32 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
             )
 
+        logp_new_phi = tree_stats["logp_prop"]
         if cfg.is_asymptotic:
             # Accept-reject epilogue makes the forward kernel pi_phi-invariant
             # (reference nuts_acc_rej.py:42-49). The tree already evaluated
             # logp at both endpoints — reuse instead of recomputing.
-            x_new, r_new, _ = hmc_accept_reject_cached(
+            x_new, r_new, accepted = hmc_accept_reject_cached(
                 tree_stats["logp0"], tree_stats["logp_prop"],
                 x_r, x_new, r, r_new, k_acc, inv_mass=carry.inv_mass,
             )
+            logp_new_phi = jnp.where(
+                accepted, tree_stats["logp_prop"], tree_stats["logp0"]
+            )
+
+        # The tempered identity logp(x, phi) = logprior(x) + phi*loglik(x)
+        # recovers the untempered log-likelihood at both endpoints from the
+        # tree-cached log-densities with only an O(D) logprior evaluation —
+        # no full model re-evaluation anywhere in the iteration body. Valid
+        # because phi > 0 always: tempering starts from a bisection result in
+        # (0, 1], and the non-tempered path runs at phi = 1.
+        def cached_loglik(logp_at_phi, positions):
+            return (logp_at_phi - model.logprior_batch(positions)) / phi
 
         # 7: next temperature from the proposed positions.
+        if cfg.tempering or cfg.is_asymptotic:
+            loglik_new = cached_loglik(logp_new_phi, x_new)
         if cfg.tempering:
-            loglik_new = model.loglik_batch(x_new)
             phi_next = next_temperature(
                 loglik_new, phi, n, alpha=cfg.tempering_alpha
             )
@@ -224,7 +238,8 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             # Position move carries no weight change (pi-invariant kernel);
             # only the temperature increment on the PRE-proposal positions
             # (reference samples.py:169-180).
-            logw_new = logw_r + (phi_next - phi) * model.loglik_batch(x_r)
+            loglik_old = cached_loglik(tree_stats["logp0"], x_r)
+            logw_new = logw_r + (phi_next - phi) * loglik_old
         else:
             # Non-tempered path evaluates the target at phi=1
             # (reference samples.py:183-196).
@@ -238,8 +253,12 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 logp_new_1 = tree_stats["logp_prop"]
                 logp_old_1 = tree_stats["logp0"]
             else:
-                logp_new_1 = model.logp_batch(x_new, 1.0)
-                logp_old_1 = model.logp_batch(x_r, 1.0)
+                logp_new_1 = (
+                    model.logprior_batch(x_new) + loglik_new
+                )
+                logp_old_1 = model.logprior_batch(x_r) + cached_loglik(
+                    tree_stats["logp0"], x_r
+                )
             logw_new = (
                 logw_r
                 + logp_new_1
@@ -285,6 +304,11 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         if cfg.save_history:
             out["x_hist"] = x_new
             out["logw_hist"] = logw_new
+            if cfg.is_asymptotic:
+                # Saved for the tempered-recycling post-pass: its importance
+                # correction gathers these instead of re-evaluating the model
+                # over the whole K x N history.
+                out["loglik_hist"] = loglik_new
 
         if mesh is not None:
             from .parallel.sharding import constrain_particles
@@ -301,23 +325,25 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
 
 
 def _estimate_from_tempered(model: Model, cfg: SMCConfig, key, x_saved,
-                            logw_saved, phi):
+                            logw_saved, loglik_saved, phi):
     """Tempered-recycling post-pass for the asymptotic strategy (reference
     smcnuts/estimate/estimate_from_tempered.py:24-55), vmapped over the K+1
     saved iterations: fresh multinomial resample by the saved weights, then
-    importance-correct from pi_{phi_k} to pi via (1 - phi_k) * loglik."""
-    n = cfg.n_particles
+    importance-correct from pi_{phi_k} to pi via (1 - phi_k) * loglik. The
+    loglik values were saved during the scan, so the correction is a gather,
+    not K+1 model sweeps (the reference reloads the Stan model 2(K+1) times
+    here, estimate_from_tempered.py:47)."""
     keys = jax.random.split(key, phi.shape[0])
 
-    def one(k_key, x_k, logw_k, phi_k):
+    def one(k_key, x_k, logw_k, loglik_k, phi_k):
         wn, _ = normalise_weights(logw_k)
         ancestors = multinomial_ancestors(k_key, wn)
         x = jnp.take(x_k, ancestors, axis=0)
-        logw_corr = (1.0 - phi_k) * model.loglik_batch(x)
+        logw_corr = (1.0 - phi_k) * jnp.take(loglik_k, ancestors)
         wn_corr, _ = normalise_weights(logw_corr)
         return constrained_estimate(model, x, wn_corr)
 
-    return jax.vmap(one)(keys, x_saved, logw_saved, phi)
+    return jax.vmap(one)(keys, x_saved, logw_saved, loglik_saved, phi)
 
 
 def init_state(model: Model, cfg: SMCConfig, key, sample_proposal=None,
@@ -398,8 +424,11 @@ def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
         logw_saved = jnp.concatenate([logw0[None], outs["logw_hist"]], axis=0)
 
     if cfg.is_asymptotic:
+        loglik_saved = jnp.concatenate(
+            [model.loglik_batch(x0)[None], outs["loglik_hist"]], axis=0
+        )
         mean_est, var_est = _estimate_from_tempered(
-            model, cfg, k_post, x_saved, logw_saved, phi_series
+            model, cfg, k_post, x_saved, logw_saved, loglik_saved, phi_series
         )
 
     return SMCResult(
