@@ -69,9 +69,15 @@ def main(argv=None):
                    "dispatch per strategy (jax.vmap over seeds; the NUTS "
                    "kernel collapses the batch into one multi-run launch). "
                    "Much faster; incompatible with --mesh.")
+    p.add_argument("--shard-runs", action="store_true",
+                   help="with --vmap-runs: additionally shard the run batch "
+                   "over all local devices ('runs' mesh; linear scale-out, "
+                   "no cross-device communication)")
     args = p.parse_args(argv)
     if args.vmap_runs and args.mesh:
         p.error("--vmap-runs and --mesh are mutually exclusive")
+    if args.shard_runs and not args.vmap_runs:
+        p.error("--shard-runs requires --vmap-runs")
 
     model = get_model(args.model)
     step_size = args.step_size or default_step_size(args.model)
@@ -107,8 +113,20 @@ def main(argv=None):
         keys = jax.numpy.stack(
             [jax.random.key(args.seed0 * (i + 1)) for i in range(args.runs)]
         )
+        if args.shard_runs:
+            from smcnuts_tpu.parallel import map_runs, run_mesh
+
+            rmesh = run_mesh()
+
+            def make_batched(fn):
+                return lambda ks: map_runs(fn, ks, rmesh)
+
+        else:
+            def make_batched(fn):
+                return jax.jit(jax.vmap(fn))
+
         for name in args.strategies:
-            batched = jax.jit(jax.vmap(fns[name]))
+            batched = make_batched(fns[name])
             jax.block_until_ready(batched(keys))  # compile
             t0 = time.time()
             results = jax.block_until_ready(batched(keys))

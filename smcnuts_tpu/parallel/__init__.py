@@ -1,5 +1,7 @@
-"""Device-mesh parallelism for the particle axis."""
+"""Device-mesh parallelism: particle axis (collectives) and run axis
+(embarrassingly parallel Monte-Carlo)."""
 
+from .runs import RUN_AXIS, map_runs, run_mesh
 from .sharding import (
     PARTICLE_AXIS,
     constrain_particles,
@@ -12,10 +14,13 @@ from .sharding import (
 
 __all__ = [
     "PARTICLE_AXIS",
+    "RUN_AXIS",
     "constrain_particles",
+    "map_runs",
     "particle_mesh",
     "particle_sharding",
     "replicated",
+    "run_mesh",
     "shard_key",
     "weight_sharding",
 ]

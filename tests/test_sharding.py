@@ -121,3 +121,32 @@ def test_tempered_sharded_run(mesh):
     res = jax.jit(lambda k: run_smc(model, cfg, k, mesh=mesh))(jax.random.key(3))
     assert np.all(np.isfinite(np.asarray(res.mean_estimate)))
     assert float(res.phi[-1]) == 1.0
+
+
+def test_map_runs_matches_vmap():
+    """Run-axis scale-out (parallel/runs.py): shard_map over the 'runs' mesh
+    must produce exactly the per-run results of a plain jax.vmap (independent
+    runs, no collectives, same per-run PRNG streams)."""
+    from smcnuts_tpu.parallel import map_runs, run_mesh
+
+    model = make_gaussian(MEAN, VAR)
+    cfg = SMCConfig(
+        n_particles=32, n_iterations=3, step_size=0.5,
+        lkernel="forwardsLKernel", save_history=False,
+    )
+
+    def one(key):
+        r = run_smc(model, cfg, key)
+        return r.mean_estimate, r.ess
+
+    n_dev = jax.device_count()
+    keys = jnp.stack([jax.random.key(7 * (i + 1)) for i in range(2 * n_dev)])
+    ref_mean, ref_ess = jax.jit(jax.vmap(one))(keys)
+    got_mean, got_ess = map_runs(one, keys, run_mesh())
+    assert len(got_mean.addressable_shards) == n_dev
+    np.testing.assert_allclose(
+        np.asarray(got_mean), np.asarray(ref_mean), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_ess), np.asarray(ref_ess), rtol=1e-6, atol=1e-6
+    )
