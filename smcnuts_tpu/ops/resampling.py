@@ -17,12 +17,13 @@ import jax
 import jax.numpy as jnp
 
 # Below this particle count the CDF inversion uses a dense (N, N) compare +
-# row-sum instead of binary search: jnp.searchsorted lowers to a sequential
-# while-loop of gathers on TPU (~50 us/iteration at N=512, measured), while
-# the dense compare fuses into a couple of VPU passes (~6x faster end-to-end
-# at the reference config). At 16M lane-ops (N=4096) the dense form is still
-# well under the searchsorted fixed cost; beyond that the O(N log N) search
-# wins.
+# row-sum instead of binary search: jnp.searchsorted's default 'scan' method
+# lowers to a sequential loop of gathers on TPU (~50 us/iteration at N=512,
+# measured), while the dense compare fuses into a couple of VPU passes (~6x
+# faster end-to-end at the reference config). Above the cutoff the
+# 'sort'-based searchsorted (bitonic sort of the concatenated arrays — the
+# TPU-friendly formulation) wins: 0.8/4.9/19.6 ms per inversion at
+# N=32768/262144/1048576 vs 4/36/158 ms for the default method.
 _DENSE_INVERT_MAX_N = 4096
 
 
@@ -32,7 +33,9 @@ def _invert_cdf(cdf, u):
     if cdf.shape[0] <= _DENSE_INVERT_MAX_N:
         lt = cdf[None, :] < u[:, None]
         return jnp.sum(lt.astype(jnp.int32), axis=1)
-    return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+    return jnp.searchsorted(cdf, u, side="right", method="sort").astype(
+        jnp.int32
+    )
 
 
 def multinomial_ancestors(key, wn):
