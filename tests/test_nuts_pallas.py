@@ -184,6 +184,73 @@ def test_depth0_leapfrog_with_mass_matrix():
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r_exp), atol=1e-5)
 
 
+def test_vmap_batches_into_multirun_kernel(setup):
+    """jax.vmap over (x, r, seed) must hit the custom_vmap rule: one
+    (B, nblk)-grid launch whose per-run results match per-run single calls
+    (same per-run seed => same TPU PRNG stream in interpret mode)."""
+    tm, model = setup
+    B, n = 3, 16
+    rng = np.random.default_rng(21)
+    xs = jnp.asarray(
+        rng.normal(0, 0.02, (B, n, 4)) + POST_MODE, jnp.float32
+    )
+    rs = jnp.asarray(rng.normal(size=(B, n, 4)), jnp.float32)
+    seeds = jnp.asarray([5, 6, 7], jnp.int32)
+
+    f = lambda x, r, s: nuts_batch_pallas(
+        tm, x, r, s, 0.01, 1.0, max_depth=2, interpret=True
+    )
+    xb, rb, stb = jax.vmap(f)(xs, rs, seeds)
+    assert xb.shape == (B, n, 4)
+    for b in range(B):
+        x1, r1, st = f(xs[b], rs[b], seeds[b])
+        np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(x1))
+        np.testing.assert_allclose(
+            np.asarray(stb["logp_prop"][b]), np.asarray(st["logp_prop"])
+        )
+    # Per-run log-densities must match the model at the returned points.
+    lp_ref = np.asarray(jax.vmap(lambda x: model.logp_batch(x, 1.0))(xb))
+    np.testing.assert_allclose(
+        np.asarray(stb["logp_prop"]), lp_ref, rtol=1e-4, atol=1e-3
+    )
+
+
+def test_vmapped_run_smc_pallas_interpret():
+    """vmap(run_smc) on the Gaussian model with the pallas backend in
+    interpret mode: per-run moments must be finite and near the target (the
+    end-to-end path the batched Monte-Carlo driver uses on TPU)."""
+    from smcnuts_tpu import SMCConfig, run_smc
+    from smcnuts_tpu.models import make_gaussian
+    from smcnuts_tpu.ops import nuts_pallas
+
+    model = make_gaussian(np.array([1.0, -1.0]), np.array([1.0, 0.5]))
+    cfg = SMCConfig(
+        n_particles=64, n_iterations=4, step_size=0.5, max_tree_depth=3,
+        lkernel="forwardsLKernel", save_history=False,
+        nuts_backend="pallas",
+    )
+    # Force interpret mode for the CPU test harness.
+    orig = nuts_pallas._nuts_pallas_batched
+    import functools
+
+    def patched(tile_model, *a, **kw):
+        kw_args = list(a)
+        kw_args[-1] = True  # interpret flag is the last positional arg
+        return orig(tile_model, *kw_args, **kw)
+
+    nuts_pallas._VMAPPABLE_CACHE.clear()
+    nuts_pallas._nuts_pallas_batched = patched
+    try:
+        res = jax.jit(
+            jax.vmap(lambda k: run_smc(model, cfg, k).mean_estimate[-1])
+        )(jnp.stack([jax.random.key(i) for i in range(3)]))
+    finally:
+        nuts_pallas._nuts_pallas_batched = orig
+        nuts_pallas._VMAPPABLE_CACHE.clear()
+    assert res.shape == (3, 2)
+    assert np.all(np.isfinite(np.asarray(res)))
+
+
 def test_shard_map_multi_device(setup):
     """The whole-tree kernel composes with shard_map over the particle mesh:
     each device runs the kernel on its shard (interpret mode here; the real
