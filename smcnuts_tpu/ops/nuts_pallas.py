@@ -136,14 +136,27 @@ def _nuts_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     pidx = blk * jnp.int32(_BLOCK) + row * jnp.int32(_LANES) + col
-    stop = pidx >= nvalid_ref[0]
+    # Stop state carried as f32 (1.0 = stopped): Mosaic cannot carry i1
+    # vectors through scf.while.
+    stopf = jnp.where(pidx >= nvalid_ref[0], f0 + 1.0, f0)
     alpha_sum = f0
     alpha_cnt = f0
     lf_cnt = f0
     depth_done = f0
 
-    for depth in range(max_depth + 1):
-        active = jnp.logical_not(stop)
+    # Doubling loop with early exit: once every lane of the block has
+    # stopped (U-turn/divergence), remaining depths are skipped instead of
+    # walking all max_depth+1 doublings with all-false masks (typical trees
+    # stop at depth 3-6 of 10 — the idle doublings otherwise cost more than
+    # the useful ones at warm equilibrium).
+    def tree_cond(c):
+        depth, stopf = c[0], c[1]
+        return (depth <= max_depth) & jnp.any(stopf < 0.5)
+
+    def tree_body(c):
+        (depth, stopf, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
+         alpha_sum, alpha_cnt, lf_cnt, depth_done) = c
+        active = stopf < 0.5
         direction = jnp.where(_uniform(shape) < 0.5, 1.0, -1.0)
         back = direction < 0
 
@@ -151,7 +164,7 @@ def _nuts_kernel(
         r = [jnp.where(back, rm[d], rp[d]) for d in range(D)]
         g = [jnp.where(back, gm[d], gp[d]) for d in range(D)]
 
-        num_leaves = 1 << depth
+        num_leaves = jax.lax.shift_left(jnp.int32(1), depth)
 
         def leaf_body(carry, active=active, direction=direction):
             # sstop is carried as f32 (1.0 = stopped): Mosaic cannot carry
@@ -237,7 +250,7 @@ def _nuts_kernel(
         carry0 = (
             jnp.zeros((), jnp.int32), x, r, g,
             [x[d] for d in range(D)], [r[d] for d in range(D)], lps,
-            f0, jnp.where(stop, f0 + 1.0, f0), alpha_sum, alpha_cnt, lf_cnt,
+            f0, stopf, alpha_sum, alpha_cnt, lf_cnt,
         )
         (_, x, r, g, xpr, rpr, lppr, nsub, sstop,
          alpha_sum, alpha_cnt, lf_cnt) = lax.while_loop(
@@ -269,8 +282,20 @@ def _nuts_kernel(
             v_m = v_m + dx * im[d] * rm[d]
             v_p = v_p + dx * im[d] * rp[d]
         turned_g = (v_m < 0) | (v_p < 0)
-        stop = stop | (active & ((sstop > 0.5) | turned_g))
-        depth_done = depth_done + active.astype(jnp.float32)
+        stopf = jnp.maximum(
+            stopf,
+            jnp.where(active & ((sstop > 0.5) | turned_g), f0 + 1.0, f0),
+        )
+        depth_done = depth_done + jnp.where(active, f0 + 1.0, f0)
+        return (depth + 1, stopf, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
+                alpha_sum, alpha_cnt, lf_cnt, depth_done)
+
+    (_, _, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
+     alpha_sum, alpha_cnt, lf_cnt, depth_done) = lax.while_loop(
+        tree_cond, tree_body,
+        (jnp.zeros((), jnp.int32), stopf, xm, rm, gm, xp, rp, gp, xs, rs,
+         lps, n, alpha_sum, alpha_cnt, lf_cnt, depth_done),
+    )
 
     for d in range(D):
         x_out[0, 0, d] = xs[d]
@@ -500,10 +525,10 @@ def prmwcd_tile_model(y, X, q) -> TileModel:
     Clength design matrix and observations are STATIC data, so they are baked
     into the kernel as immediate constants and the observation loop is fully
     Python-unrolled: no SMEM loads, no loop-carried control flow — straight-
-    line vector code Mosaic schedules across all VPU ports (measured ~200x
-    over the fori_loop + SMEM-scalar-load formulation on the arma kernel).
-    The constant -sum(lgamma(y_i + 1)) term is folded in at build time
-    (Mosaic has no lgamma)."""
+    line vector code Mosaic schedules across the VPU ports (measured 3.1x
+    over the fori_loop + SMEM-scalar-load formulation on the arma kernel;
+    relay-cache-proof protocol). The constant -sum(lgamma(y_i + 1)) term is
+    folded in at build time (Mosaic has no lgamma)."""
     import scipy.special
 
     y = np.asarray(y, np.float64)
@@ -581,9 +606,12 @@ def arma_tile_model(y) -> TileModel:
     the recurrence fully Python-unrolled. The resulting straight-line vector
     code has no SMEM loads and no loop-carried control flow, so Mosaic
     schedules the four independent recurrence chains + four accumulators
-    across the VPU ports — measured ~200x faster per leapfrog than the
-    fori_loop + per-step SMEM scalar-load formulation (~0.12 us vs ~14 us
-    per leapfrog for a 1024-lane block on TPU v5e)."""
+    across the VPU ports — measured 3.1x faster than the fori_loop +
+    per-step SMEM scalar-load formulation (4.6 vs 14.2 ms for a warm
+    K=100 N=512 run on TPU v5e; ~0.7 us per 1024-lane leaf step, which is
+    the ~3.5 cycle/step dependency-latency bound of the serial recurrence —
+    an 8-way chunk-parallel reformulation was measured at only ~1.8x before
+    paying its recombination math, so this form is kept)."""
     yf = [float(v) for v in np.asarray(y, np.float32)]
     T = len(yf)
 
