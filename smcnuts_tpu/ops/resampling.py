@@ -28,11 +28,12 @@ _DENSE_INVERT_MAX_N = 4096
 
 
 def _invert_cdf(cdf, u):
-    """Indices idx[i] = #{j : cdf[j] < u[i]} == searchsorted(cdf, u, 'right')
-    for u drawn in [0, cdf[-1])."""
+    """Indices idx[i] = #{j : cdf[j] <= u[i]} == searchsorted(cdf, u,
+    'right') for u drawn in [0, cdf[-1]) — exact f32 ties (measure ~2^-24)
+    resolve identically on both paths."""
     if cdf.shape[0] <= _DENSE_INVERT_MAX_N:
-        lt = cdf[None, :] < u[:, None]
-        return jnp.sum(lt.astype(jnp.int32), axis=1)
+        le = cdf[None, :] <= u[:, None]
+        return jnp.sum(le.astype(jnp.int32), axis=1)
     return jnp.searchsorted(cdf, u, side="right", method="sort").astype(
         jnp.int32
     )

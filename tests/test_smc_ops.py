@@ -155,3 +155,38 @@ class TestGaussianLKernel:
             )
         )
         np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_invert_cdf_dense_matches_searchsorted():
+    """The dense (N,N) inversion below the cutoff and the sort-based
+    searchsorted above it must agree exactly with the definitional
+    searchsorted(cdf, u, 'right') on the same inputs (ops/resampling.py)."""
+    from smcnuts_tpu.ops.resampling import _DENSE_INVERT_MAX_N, _invert_cdf
+
+    rng = np.random.default_rng(3)
+    for n in (512, _DENSE_INVERT_MAX_N, 2 * _DENSE_INVERT_MAX_N):
+        w = rng.random(n).astype(np.float32)
+        w[rng.random(n) < 0.3] = 0.0  # zero-weight particles
+        cdf = jnp.cumsum(jnp.asarray(w / w.sum()))
+        u = jnp.asarray(
+            rng.random(n).astype(np.float32) * float(cdf[-1])
+        )
+        got = np.asarray(_invert_cdf(cdf, u))
+        want = np.searchsorted(np.asarray(cdf), np.asarray(u), side="right")
+        np.testing.assert_array_equal(got, want)
+        assert got.min() >= 0 and got.max() < n
+
+
+def test_multinomial_large_n_sort_path():
+    """Above the dense cutoff (sort-based searchsorted): ancestor counts of
+    each index still follow the weights."""
+    n = 8192
+    rng = np.random.default_rng(5)
+    w = rng.random(n).astype(np.float32)
+    wn = jnp.asarray(w / w.sum())
+    anc = multinomial_ancestors(jax.random.key(11), wn)
+    counts = np.bincount(np.asarray(anc), minlength=n)
+    # Expected count of index j is n*wn_j ~ 2 on average; aggregate check.
+    corr = np.corrcoef(counts, np.asarray(wn) * n)[0, 1]
+    assert corr > 0.5
+    assert counts.sum() == n
