@@ -16,7 +16,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         prog="smcnuts_tpu", description="TPU-native SMC-NUTS sampler"
     )
-    p.add_argument("--model", default="arma", help="arma | prmwcd")
+    p.add_argument("--model", default="arma",
+                   help="arma | prmwcd | eightschools")
     p.add_argument("-N", "--particles", type=int, default=512)
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--step-size", type=float, default=None)
@@ -30,6 +31,8 @@ def main(argv=None):
     p.add_argument("--max-tree-depth", type=int, default=10)
     p.add_argument("--adapt-step-size", action="store_true")
     p.add_argument("--adapt-mass-matrix", action="store_true")
+    p.add_argument("--nuts-backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", action="store_true",
                    help="shard particles over all local devices")
@@ -45,11 +48,18 @@ def main(argv=None):
 
     model = get_model(args.model)
     if args.step_size is None:
+        # Per-model configured step size; 0.5 when unconfigured (the
+        # reference's default, run_experiments.py:87-90).
         if args.model == "arma":
             from .models.arma import default_step_size as dss
-        else:
+
+            args.step_size = dss()
+        elif args.model.lower() == "prmwcd":
             from .models.prmwcd import default_step_size as dss
-        args.step_size = dss()
+
+            args.step_size = dss()
+        else:
+            args.step_size = 0.5
 
     tempering = args.tempering or args.lkernel == "asymptoticLKernel"
     cfg = SMCConfig(
@@ -59,6 +69,7 @@ def main(argv=None):
         adapt_step_size=args.adapt_step_size,
         adapt_mass_matrix=args.adapt_mass_matrix,
         save_history=args.lkernel == "asymptoticLKernel",
+        nuts_backend=args.nuts_backend,
     )
     mesh = None
     if args.mesh:
