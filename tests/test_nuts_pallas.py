@@ -296,6 +296,58 @@ def test_shard_map_multi_device(setup):
 
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
+    reason="RNG statistics need the real chip (interpret-mode PRNG is a "
+    "stub); verified on TPU v5e",
+)
+def test_tempered_gaussian_moments_on_tpu():
+    """End-to-end tempered run through the autodiff tile model on device:
+    final moments must match the closed-form target within MC error."""
+    from smcnuts_tpu import SMCConfig, run_smc
+    from smcnuts_tpu.models import make_gaussian
+
+    mean = np.array([1.0, -2.0, 3.0])
+    var = np.array([0.5, 2.0, 1.0])
+    model = make_gaussian(mean, var, prior_var=np.full(3, 9.0))
+    cfg = SMCConfig(
+        n_particles=2048, n_iterations=20, step_size=0.5, max_tree_depth=5,
+        lkernel="forwardsLKernel", tempering=True, save_history=False,
+        nuts_backend="pallas",
+    )
+    r = jax.jit(lambda k: run_smc(model, cfg, k))(jax.random.key(1))
+    got_mean = np.asarray(r.mean_estimate[-1])
+    got_var = np.asarray(r.variance_estimate[-1])
+    ess = float(r.ess[-1])
+    assert ess > 1000
+    se = np.sqrt(var / ess)
+    np.testing.assert_allclose(got_mean, mean, atol=4 * se.max())
+    np.testing.assert_allclose(got_var, var, rtol=0.25)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="RNG statistics need the real chip (interpret-mode PRNG is a "
+    "stub); verified on TPU v5e",
+)
+def test_eightschools_posterior_on_tpu():
+    """Eight-schools through the in-kernel autodiff tile model: posterior
+    mu ~ 4.4, tau ~ 3.6 (standard values for this data)."""
+    from smcnuts_tpu import SMCConfig, run_smc
+    from smcnuts_tpu.models import make_eightschools
+
+    model = make_eightschools()
+    cfg = SMCConfig(
+        n_particles=1024, n_iterations=30, step_size=0.2, max_tree_depth=6,
+        lkernel="forwardsLKernel", tempering=True, save_history=False,
+        nuts_backend="pallas",
+    )
+    r = jax.jit(lambda k: run_smc(model, cfg, k))(jax.random.key(0))
+    mu, tau = float(r.mean_estimate[-1][0]), float(r.mean_estimate[-1][1])
+    assert 3.0 < mu < 6.0
+    assert 2.0 < tau < 6.0
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
     reason="the TPU-interpret mode's prng_random_bits is a stub (returns "
     "zeros), so RNG-dependent statistics are only meaningful on device; "
     "verified on TPU v5e: stds agree within noise across seeds "
