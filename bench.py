@@ -54,11 +54,14 @@ def measure_tpu():
         return r.mean_estimate[-1], r.ess[-1]
 
     f = jax.jit(jax.vmap(one))
-    keys = jax.random.split(jax.random.key(0), N_RUNS)
     # Compile + warm up.
-    jax.block_until_ready(f(keys))
+    jax.block_until_ready(f(jax.random.split(jax.random.key(0), N_RUNS)))
     times = []
     for i in range(3):
+        # Fresh keys per repetition: the transport layer on some setups
+        # (axon relay) memoizes dispatches with identical arguments, which
+        # would make repeat timings fiction.
+        keys = jax.random.split(jax.random.key(i + 1), N_RUNS)
         t0 = time.perf_counter()
         jax.block_until_ready(f(keys))
         times.append(time.perf_counter() - t0)
