@@ -26,7 +26,9 @@ BASELINE_N = 8
 BASELINE_K = 2
 
 
-N_RUNS = 10  # independent SMC runs per dispatch (see measure_tpu docstring)
+# Independent SMC runs per dispatch (see measure_tpu docstring). 25 is the
+# reference's own Monte-Carlo count (run_experiments.py:38).
+N_RUNS = 25
 
 
 def measure_tpu():
