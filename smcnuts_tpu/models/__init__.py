@@ -9,6 +9,7 @@ from .arma import make_arma
 from .base import Model, make_logp_vg
 from .eightschools import make_eightschools
 from .gaussian import make_gaussian, tempered_moments
+from .logistic import make_logistic
 from .prmwcd import make_prmwcd
 
 _REGISTRY = {
@@ -16,6 +17,7 @@ _REGISTRY = {
     "prmwcd": make_prmwcd,
     "PRMwCD": make_prmwcd,
     "eightschools": make_eightschools,
+    "logistic": make_logistic,
 }
 
 
@@ -33,6 +35,7 @@ __all__ = [
     "make_prmwcd",
     "make_eightschools",
     "make_gaussian",
+    "make_logistic",
     "tempered_moments",
     "get_model",
 ]

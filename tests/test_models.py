@@ -140,3 +140,74 @@ def test_batched_consistency():
     batch = np.asarray(model.logp_batch(x, 0.6))
     single = np.array([float(model.logp(x[i], 0.6)) for i in range(7)])
     np.testing.assert_allclose(batch, single, rtol=1e-5)
+
+
+class TestLogistic:
+    def test_tile_model_matches_autodiff_depth0(self):
+        """Logistic regression through the in-kernel autodiff adapter: a
+        depth-0 tree is one leapfrog, checked against jax.value_and_grad."""
+        from smcnuts_tpu.models import make_logistic
+        from smcnuts_tpu.ops.nuts_pallas import nuts_batch_pallas
+
+        m = make_logistic()
+        n, D = 16, m.dim
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 0.3, (n, D)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+        phi, eps = 0.6, 0.05
+        x1, r1, st = nuts_batch_pallas(
+            m.tile_model, x, r, seed=0, step_size=eps, phi=phi, max_depth=0,
+            interpret=True,
+        )
+        vg = jax.vmap(jax.value_and_grad(lambda t: m.logp(t, phi)))
+        lp0, g0 = vg(x)
+        r_half = r + 0.5 * eps * g0
+        x_exp = x + eps * r_half
+        _, g1 = vg(x_exp)
+        r_exp = r_half + 0.5 * eps * g1
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x_exp), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r_exp), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st["logp0"]), np.asarray(lp0), rtol=1e-5, atol=1e-4
+        )
+
+    def test_end_to_end_moments_match_long_nuts(self):
+        """SMC posterior mean agrees with a plain long NUTS-MCMC estimate on
+        the same synthetic data (XLA backend, CPU)."""
+        from smcnuts_tpu import SMCConfig, run_smc
+        from smcnuts_tpu.models import make_logistic
+
+        m = make_logistic()
+        cfg = SMCConfig(
+            n_particles=512, n_iterations=15, step_size=0.2,
+            max_tree_depth=6, lkernel="forwardsLKernel", tempering=True,
+            save_history=False,
+        )
+        res = jax.jit(lambda k: run_smc(m, cfg, k))(jax.random.key(0))
+        assert float(res.ess[-1]) > 100
+        smc_mean = np.asarray(res.mean_estimate[-1])
+
+        # Long-chain oracle: persistent NUTS from the SMC answer.
+        from smcnuts_tpu.ops.nuts import nuts_batch
+
+        logp_vg = lambda t: jax.value_and_grad(lambda u: m.logp(u, 1.0))(t)
+        n = 256
+        key = jax.random.key(1)
+        x = jnp.broadcast_to(jnp.asarray(smc_mean), (n, m.dim))
+
+        def body(carry, k):
+            x, key = carry
+            key, km, kn = jax.random.split(key, 3)
+            r = jax.random.normal(km, x.shape)
+            x1, _, _ = nuts_batch(
+                logp_vg, x, r, jax.random.split(kn, n), 0.2, max_depth=6
+            )
+            return (x1, key), x1
+
+        (_, _), xs = jax.lax.scan(body, (x, key), None, length=20)
+        mcmc_mean = np.asarray(xs[10:].reshape(-1, m.dim).mean(0))
+        np.testing.assert_allclose(smc_mean, mcmc_mean, atol=0.25)
