@@ -52,9 +52,12 @@ _BLOCK = _LANES * _SUBLANES
 _INV_2_24 = float(2.0**-24)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class TileModel:
-    """Model plug-in for in-kernel evaluation."""
+    """Model plug-in for in-kernel evaluation.
+
+    eq=False keeps identity hashing (the fields hold unhashable arrays),
+    which the per-instance kernel cache below relies on."""
 
     dim: int
     extra: Sequence[jnp.ndarray]  # data arrays, passed through SMEM
@@ -440,7 +443,12 @@ def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool):
     return fn
 
 
-_VMAPPABLE_CACHE: dict = {}
+# Weak-keyed by TileModel instance: an id()-keyed dict would mis-resolve if
+# a collected TileModel's id were reused by a new model (the cached closure
+# captures tile_fn — the sampler would silently run the OLD model).
+import weakref
+
+_VMAPPABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
@@ -459,11 +467,15 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
     on one chip.
     """
     D = tile_model.dim
-    key = (id(tile_model), max_depth, bool(interpret))
-    fn = _VMAPPABLE_CACHE.get(key)
+    per_model = _VMAPPABLE_CACHE.get(tile_model)
+    if per_model is None:
+        per_model = {}
+        _VMAPPABLE_CACHE[tile_model] = per_model
+    key = (max_depth, bool(interpret))
+    fn = per_model.get(key)
     if fn is None:
         fn = _make_vmappable(tile_model, max_depth, interpret)
-        _VMAPPABLE_CACHE[key] = fn
+        per_model[key] = fn
     if inv_mass is None:
         inv_mass = jnp.ones((D,), jnp.float32)
     return fn(

@@ -18,7 +18,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 RUN_AXIS = "runs"
 
-_JIT_CACHE: dict = {}
+import weakref
+
+# Weak-keyed by the run function: an id()-keyed dict could resolve a NEW
+# function to a stale compiled program if a collected function's id were
+# reused.
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def run_mesh(devices=None) -> Mesh:
@@ -42,8 +47,12 @@ def map_runs(fn_one, keys, mesh: Mesh):
         raise ValueError(
             f"run count {r} must be a multiple of the mesh size {n_dev}"
         )
-    cache_key = (id(fn_one), tuple(mesh.devices.flat), mesh.axis_names)
-    f = _JIT_CACHE.get(cache_key)
+    per_fn = _JIT_CACHE.get(fn_one)
+    if per_fn is None:
+        per_fn = {}
+        _JIT_CACHE[fn_one] = per_fn
+    cache_key = (tuple(mesh.devices.flat), mesh.axis_names)
+    f = per_fn.get(cache_key)
     if f is None:
         f = jax.jit(
             jax.shard_map(
@@ -52,5 +61,5 @@ def map_runs(fn_one, keys, mesh: Mesh):
                 check_vma=False,  # pallas out_shapes carry no vma info
             )
         )
-        _JIT_CACHE[cache_key] = f
+        per_fn[cache_key] = f
     return f(keys)
