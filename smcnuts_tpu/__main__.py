@@ -17,7 +17,13 @@ def main(argv=None):
         prog="smcnuts_tpu", description="TPU-native SMC-NUTS sampler"
     )
     p.add_argument("--model", default="arma",
-                   help="arma | prmwcd | eightschools")
+                   help="arma | prmwcd | eightschools | logistic")
+    p.add_argument("--stan", default=None, metavar="FILE.stan",
+                   help="compile a Stan program as the target (overrides "
+                        "--model); pair with --data")
+    p.add_argument("--data", default=None, metavar="DATA.json",
+                   help="Stan data JSON for --stan ('phi' in the data block "
+                        "is bound as the tempering parameter)")
     p.add_argument("-N", "--particles", type=int, default=512)
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--step-size", type=float, default=None)
@@ -46,7 +52,15 @@ def main(argv=None):
     from .models import get_model
     from .sampler import run_smc
 
-    model = get_model(args.model)
+    if args.stan is not None:
+        from .stan import compile_stan_file
+
+        model = compile_stan_file(args.stan, data=args.data)
+        args.model = model.name
+        if args.step_size is None:
+            args.step_size = 0.5
+    else:
+        model = get_model(args.model)
     if args.step_size is None:
         # Per-model configured step size; 0.5 when unconfigured (the
         # reference's default, run_experiments.py:87-90).

@@ -1,0 +1,247 @@
+"""Stan math library for the .stan frontend: builtins and log densities.
+
+Replaces the Stan Math C++ library behind BridgeStan (reference
+smcnuts/model/bridgestan.py:18) with jnp implementations. All densities
+include their normalizing constants (BridgeStan `propto=False` semantics),
+matching the convention of the hand-written models in `models/base.py` —
+sampling (`~`) statements therefore also keep constants, a documented
+deviation from Stan's dropped-constant `~` semantics that only shifts the
+target by a constant (invisible to sampling; offsets log-evidence by the
+same constant at every temperature).
+
+Container arguments follow Stan semantics: `dist_lpdf(y | args)` broadcasts
+elementwise and returns the SUM over all elements.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LOG_SQRT_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+
+
+def _lp(elementwise):
+    """Wrap an elementwise log-density into Stan's summed-container form."""
+
+    def f(*args):
+        return jnp.sum(elementwise(*jnp.broadcast_arrays(
+            *(jnp.asarray(a, dtype=float) for a in args)
+        )))
+
+    return f
+
+
+# ---- log densities (continuous) ----
+
+def _normal(y, mu, sigma):
+    z = (y - mu) / sigma
+    return -0.5 * z * z - jnp.log(sigma) - LOG_SQRT_2PI
+
+
+def _cauchy(y, mu, gamma):
+    z = (y - mu) / gamma
+    return -jnp.log(jnp.pi * gamma) - jnp.log1p(z * z)
+
+
+def _student_t(y, nu, mu, sigma):
+    z = (y - mu) / sigma
+    return (
+        jax.lax.lgamma((nu + 1.0) / 2.0)
+        - jax.lax.lgamma(nu / 2.0)
+        - 0.5 * jnp.log(nu * jnp.pi)
+        - jnp.log(sigma)
+        - (nu + 1.0) / 2.0 * jnp.log1p(z * z / nu)
+    )
+
+
+def _exponential(y, rate):
+    return jnp.log(rate) - rate * y
+
+
+def _gamma(y, alpha, beta):
+    return (
+        alpha * jnp.log(beta)
+        - jax.lax.lgamma(alpha)
+        + (alpha - 1.0) * jnp.log(y)
+        - beta * y
+    )
+
+
+def _inv_gamma(y, alpha, beta):
+    return (
+        alpha * jnp.log(beta)
+        - jax.lax.lgamma(alpha)
+        - (alpha + 1.0) * jnp.log(y)
+        - beta / y
+    )
+
+
+def _lognormal(y, mu, sigma):
+    return _normal(jnp.log(y), mu, sigma) - jnp.log(y)
+
+
+def _beta(y, a, b):
+    return (
+        (a - 1.0) * jnp.log(y)
+        + (b - 1.0) * jnp.log1p(-y)
+        + jax.lax.lgamma(a + b)
+        - jax.lax.lgamma(a)
+        - jax.lax.lgamma(b)
+    )
+
+
+def _uniform(y, a, b):
+    inside = jnp.logical_and(y >= a, y <= b)
+    return jnp.where(inside, -jnp.log(b - a), -jnp.inf)
+
+
+def _double_exponential(y, mu, sigma):
+    return -jnp.abs(y - mu) / sigma - jnp.log(2.0 * sigma)
+
+
+def _chi_square(y, nu):
+    return (
+        -nu / 2.0 * jnp.log(2.0)
+        - jax.lax.lgamma(nu / 2.0)
+        + (nu / 2.0 - 1.0) * jnp.log(y)
+        - y / 2.0
+    )
+
+
+# ---- log probability mass functions ----
+
+def _poisson(y, lam):
+    return y * jnp.log(lam) - lam - jax.lax.lgamma(y + 1.0)
+
+
+def _poisson_log(y, log_lam):
+    return y * log_lam - jnp.exp(log_lam) - jax.lax.lgamma(y + 1.0)
+
+
+def _bernoulli(y, p):
+    return jnp.where(y > 0.5, jnp.log(p), jnp.log1p(-p))
+
+
+def _bernoulli_logit(y, alpha):
+    # log sigmoid(alpha) if y==1 else log sigmoid(-alpha)
+    return jnp.where(y > 0.5, jax.nn.log_sigmoid(alpha),
+                     jax.nn.log_sigmoid(-alpha))
+
+
+def _binomial(y, n, p):
+    return (
+        jax.lax.lgamma(n + 1.0)
+        - jax.lax.lgamma(y + 1.0)
+        - jax.lax.lgamma(n - y + 1.0)
+        + y * jnp.log(p)
+        + (n - y) * jnp.log1p(-p)
+    )
+
+
+def _neg_binomial_2(y, mu, phi):
+    return (
+        jax.lax.lgamma(y + phi)
+        - jax.lax.lgamma(phi)
+        - jax.lax.lgamma(y + 1.0)
+        + phi * jnp.log(phi / (phi + mu))
+        + y * jnp.log(mu / (phi + mu))
+    )
+
+
+DISTRIBUTIONS = {
+    "normal": _lp(_normal),
+    "std_normal": _lp(lambda y: _normal(y, 0.0, 1.0)),
+    "cauchy": _lp(_cauchy),
+    "student_t": _lp(_student_t),
+    "exponential": _lp(_exponential),
+    "gamma": _lp(_gamma),
+    "inv_gamma": _lp(_inv_gamma),
+    "lognormal": _lp(_lognormal),
+    "beta": _lp(_beta),
+    "uniform": _lp(_uniform),
+    "double_exponential": _lp(_double_exponential),
+    "chi_square": _lp(_chi_square),
+    "poisson": _lp(_poisson),
+    "poisson_log": _lp(_poisson_log),
+    "bernoulli": _lp(_bernoulli),
+    "bernoulli_logit": _lp(_bernoulli_logit),
+    "binomial": _lp(_binomial),
+    "neg_binomial_2": _lp(_neg_binomial_2),
+}
+
+
+# ---- scalar / container builtins ----
+
+def _as_arr(x):
+    return jnp.asarray(x, dtype=float)
+
+
+FUNCTIONS = {
+    "exp": jnp.exp,
+    "log": jnp.log,
+    "log1p": jnp.log1p,
+    "log1m": lambda x: jnp.log1p(-_as_arr(x)),
+    "log2": jnp.log2,
+    "log10": jnp.log10,
+    "sqrt": jnp.sqrt,
+    "square": lambda x: _as_arr(x) ** 2,
+    "cbrt": jnp.cbrt,
+    "abs": jnp.abs,
+    "fabs": jnp.abs,
+    "inv": lambda x: 1.0 / _as_arr(x),
+    "inv_sqrt": lambda x: 1.0 / jnp.sqrt(_as_arr(x)),
+    "inv_logit": jax.nn.sigmoid,
+    "logit": jax.scipy.special.logit,
+    "lgamma": lambda x: jax.lax.lgamma(_as_arr(x)),
+    "tgamma": lambda x: jnp.exp(jax.lax.lgamma(_as_arr(x))),
+    "digamma": jax.scipy.special.digamma,
+    "pow": lambda x, y: _as_arr(x) ** y,
+    "fmin": jnp.minimum,
+    "fmax": jnp.maximum,
+    "fmod": jnp.fmod,
+    "floor": jnp.floor,
+    "ceil": jnp.ceil,
+    "round": jnp.round,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "atan": jnp.arctan,
+    "atan2": jnp.arctan2,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "tanh": jnp.tanh,
+    "expm1": jnp.expm1,
+    "erf": jax.scipy.special.erf,
+    "erfc": jax.scipy.special.erfc,
+    "Phi": lambda x: jax.scipy.stats.norm.cdf(_as_arr(x)),
+    "log_sum_exp": lambda *a: jax.scipy.special.logsumexp(
+        jnp.stack([_as_arr(x) for x in a]) if len(a) > 1 else _as_arr(a[0])
+    ),
+    "softmax": jax.nn.softmax,
+    "log_softmax": jax.nn.log_softmax,
+    # containers
+    "sum": lambda x: jnp.sum(_as_arr(x)),
+    "prod": lambda x: jnp.prod(_as_arr(x)),
+    "mean": lambda x: jnp.mean(_as_arr(x)),
+    "sd": lambda x: jnp.std(_as_arr(x), ddof=1),
+    "variance": lambda x: jnp.var(_as_arr(x), ddof=1),
+    "min": lambda x: jnp.min(_as_arr(x)),
+    "max": lambda x: jnp.max(_as_arr(x)),
+    "dot_product": lambda a, b: jnp.dot(_as_arr(a), _as_arr(b)),
+    "dot_self": lambda a: jnp.dot(_as_arr(a), _as_arr(a)),
+    "cumulative_sum": lambda x: jnp.cumsum(_as_arr(x)),
+    "reverse": lambda x: _as_arr(x)[::-1],
+    "transpose": lambda x: jnp.transpose(_as_arr(x)),
+    "col": lambda m, j: _as_arr(m)[:, j - 1],
+    "row": lambda m, i: _as_arr(m)[i - 1, :],
+    "diag_matrix": lambda v: jnp.diag(_as_arr(v)),
+    "diagonal": lambda m: jnp.diag(_as_arr(m)),
+    "rep_vector": lambda v, n: jnp.full((n,), v, dtype=float),
+    "rep_row_vector": lambda v, n: jnp.full((n,), v, dtype=float),
+    "rep_array": lambda v, n: jnp.full((n,), v),
+    "to_vector": lambda x: jnp.ravel(_as_arr(x)),
+    "to_array_1d": lambda x: jnp.ravel(_as_arr(x)),
+}

@@ -1,0 +1,270 @@
+"""Stan-frontend tests: the compiled `.stan` programs must agree with the
+hand-written JAX models (which are themselves parity-tested against the
+reference ground truths), and the language subset must cover the constructs
+the reference assets use (reference stan_models/arma/arma.stan,
+stan_models/PRMwCD/PRMwCD.stan)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smcnuts_tpu.models import make_arma, make_prmwcd
+from smcnuts_tpu.stan import (
+    StanCompileError,
+    StanSyntaxError,
+    compile_stan_file,
+    compile_stan_program,
+    load_stan_data,
+)
+
+_REF = "/root/reference/stan_models"
+_HAS_REF = os.path.isdir(_REF)
+
+
+def _compare_models(compiled, hand, dim, n_points=6, seed=0, grad_rtol=3e-4):
+    rng = np.random.default_rng(seed)
+    for _ in range(n_points):
+        th = jnp.asarray(rng.normal(size=dim) * 0.5, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            compiled.logprior(th), hand.logprior(th), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            compiled.loglik(th), hand.loglik(th), rtol=1e-5, atol=1e-3
+        )
+        g1 = jax.grad(lambda t: compiled.logp(t, 0.7))(th)
+        g2 = jax.grad(lambda t: hand.logp(t, 0.7))(th)
+        scale = float(jnp.max(jnp.abs(g2))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(g1) / scale, np.asarray(g2) / scale, atol=grad_rtol
+        )
+        np.testing.assert_allclose(
+            compiled.constrain(th), hand.constrain(th), rtol=1e-6
+        )
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="reference assets not mounted")
+def test_arma_stan_matches_hand_model():
+    m = compile_stan_file(
+        f"{_REF}/arma/arma.stan", data=f"{_REF}/arma/arma.json"
+    )
+    assert m.dim == 4 and m.constrained_dim == 4
+    assert m.param_names == ("mu", "beta", "theta", "sigma")
+    _compare_models(m, make_arma(), 4)
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="reference assets not mounted")
+def test_prmwcd_stan_matches_hand_model():
+    # Also exercises load_stan_data's repair of the truncated PRMwCD.json
+    # (SURVEY.md §2 #15: the file ends mid-`"phi": `).
+    m = compile_stan_file(
+        f"{_REF}/PRMwCD/PRMwCD.stan", data=f"{_REF}/PRMwCD/PRMwCD.json"
+    )
+    assert m.dim == 13
+    assert m.param_names[0] == "Beta.1" and m.param_names[-1] == "Gamma"
+    _compare_models(m, make_prmwcd(), 13)
+
+
+def test_load_stan_data_repairs_truncation(tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"N": 3, "y": [1, 2, 3], "phi": ')
+    d = load_stan_data(str(p))
+    assert d["phi"] == 1.0 and d["N"] == 3
+
+
+def test_load_stan_data_rejects_other_corruption(tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"N": 3, "y": [1, 2')
+    with pytest.raises(json.JSONDecodeError):
+        load_stan_data(str(p))
+
+
+_CONSTRAINED = """
+data { int<lower=1> N; array[N] real y; real<lower=0, upper=1> phi; }
+parameters {
+  real mu;
+  real<lower=0> sigma;
+  real<lower=-1, upper=1> rho;
+  real<upper=2> cap;
+}
+model {
+  mu ~ normal(0, 5);
+  sigma ~ lognormal(0, 1);
+  rho ~ uniform(-1, 1);
+  cap ~ normal(0, 1);
+  target += phi * normal_lpdf(y | mu + rho, sigma);
+}
+"""
+
+
+def test_constraint_transforms_and_jacobians():
+    """Gradient of logprior must equal the analytic transformed-density
+    gradient: checked by comparing against a hand construction."""
+    data = {"N": 4, "y": [0.1, -0.2, 0.5, 0.3]}
+    m = compile_stan_program(_CONSTRAINED, data, name="c")
+    assert m.dim == 4
+
+    from smcnuts_tpu.models.base import normal_lpdf
+
+    y = jnp.asarray(data["y"], dtype=jnp.float32)
+
+    def hand_logprior(th):
+        mu, u_sig, u_rho, u_cap = th[0], th[1], th[2], th[3]
+        sigma = jnp.exp(u_sig)
+        rho = -1.0 + 2.0 * jax.nn.sigmoid(u_rho)
+        cap = 2.0 - jnp.exp(u_cap)
+        lp = normal_lpdf(mu, 0.0, 5.0)
+        lp += normal_lpdf(jnp.log(sigma), 0.0, 1.0) - jnp.log(sigma) + u_sig
+        lp += -jnp.log(2.0) + (
+            jnp.log(2.0) + jax.nn.log_sigmoid(u_rho) + jax.nn.log_sigmoid(-u_rho)
+        )
+        lp += normal_lpdf(cap, 0.0, 1.0) + u_cap
+        return lp
+
+    def hand_loglik(th):
+        mu, u_sig, u_rho = th[0], th[1], th[2]
+        sigma = jnp.exp(u_sig)
+        rho = -1.0 + 2.0 * jax.nn.sigmoid(u_rho)
+        return jnp.sum(normal_lpdf(y, mu + rho, sigma))
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        th = jnp.asarray(rng.normal(size=4), dtype=jnp.float32)
+        np.testing.assert_allclose(
+            m.logprior(th), hand_logprior(th), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            m.loglik(th), hand_loglik(th), rtol=2e-5, atol=2e-5
+        )
+
+
+_TP = """
+data { real phi; }
+parameters { vector[2] z; }
+transformed parameters {
+  real s = z[1] + z[2];
+}
+model {
+  z ~ normal(0, 1);
+  target += phi * normal_lpdf(s | 1, 2);
+}
+"""
+
+
+def test_transformed_parameters_in_constrain_and_model():
+    m = compile_stan_program(_TP, {}, name="tp")
+    assert m.dim == 2 and m.constrained_dim == 3
+    th = jnp.asarray([0.3, -0.7], dtype=jnp.float32)
+    c = m.constrain(th)
+    np.testing.assert_allclose(c[:2], th)
+    np.testing.assert_allclose(c[2], -0.4, rtol=1e-5)
+    # loglik picks up the phi-scaled term only
+    from smcnuts_tpu.models.base import normal_lpdf as nl
+
+    np.testing.assert_allclose(
+        m.loglik(th), nl(jnp.float32(-0.4), 1.0, 2.0), rtol=1e-5
+    )
+
+
+_NO_PHI = """
+parameters { real x; }
+model { x ~ normal(3, 2); }
+"""
+
+
+def test_model_without_phi_runs_untempered():
+    m = compile_stan_program(_NO_PHI, {}, name="nophi")
+    th = jnp.asarray([1.0], dtype=jnp.float32)
+    assert float(m.loglik(th)) == 0.0
+    from smcnuts_tpu.models.base import normal_lpdf as nl
+
+    np.testing.assert_allclose(m.logp(th, 1.0), nl(1.0, 3.0, 2.0), rtol=1e-5)
+
+
+def test_sampling_statement_matches_target_plus():
+    a = compile_stan_program(
+        "parameters { real x; } model { x ~ student_t(4, 0, 2); }", {}
+    )
+    b = compile_stan_program(
+        "parameters { real x; } model { target += student_t_lpdf(x | 4, 0, 2); }",
+        {},
+    )
+    th = jnp.asarray([0.9], dtype=jnp.float32)
+    np.testing.assert_allclose(a.logp(th, 1.0), b.logp(th, 1.0), rtol=1e-6)
+
+
+def test_end_to_end_smc_on_compiled_program():
+    """A compiled conjugate-Gaussian program sampled end-to-end: posterior
+    moments must approach the closed form."""
+    src = """
+    data { int<lower=1> N; array[N] real y; real phi; }
+    parameters { real mu; }
+    model {
+      mu ~ normal(0, 1);
+      target += phi * normal_lpdf(y | mu, 1);
+    }
+    """
+    rng = np.random.default_rng(0)
+    y = rng.normal(loc=1.5, size=8)
+    m = compile_stan_program(src, {"N": 8, "y": y.tolist()}, name="conj")
+    post_var = 1.0 / (1.0 + len(y))
+    post_mean = post_var * y.sum()
+
+    from smcnuts_tpu import SMCConfig, run_smc
+
+    cfg = SMCConfig(n_particles=256, n_iterations=8, step_size=0.4,
+                    tempering=True)
+    res = jax.jit(lambda k: run_smc(m, cfg, k))(jax.random.key(1))
+    assert abs(float(res.mean_estimate[-1][0]) - post_mean) < 0.15
+    assert abs(float(res.variance_estimate[-1][0]) - post_var) < 0.1
+
+
+def test_unsupported_constructs_raise():
+    with pytest.raises(StanSyntaxError):
+        compile_stan_program(
+            "functions { real f(real x) { return x; } } parameters { real x; }"
+            " model { x ~ normal(0,1); }",
+            {},
+        )
+    with pytest.raises(StanCompileError):
+        compile_stan_program(
+            "parameters { real x; } model { x ~ wishart(3, I); }", {}
+        )
+    with pytest.raises(StanCompileError):
+        # parameter-dependent loop bound is not jittable
+        compile_stan_program(
+            "parameters { real x; } model { for (i in 1:x) target += x; }",
+            {},
+        ).logp(jnp.ones(1), 1.0)
+
+
+def test_for_loop_and_old_style_arrays():
+    """PRMwCD-shaped constructs: old-style arrays, nested loops, flat-index
+    arithmetic, fabs/pow."""
+    src = """
+    data { int<lower=1> N; int<lower=1> C; real x[N*C]; real phi; }
+    parameters { real b; }
+    model {
+      real acc;
+      acc = 0;
+      for (i in 1:N) {
+        for (j in 1:C) {
+          acc += x[(i-1)*C + j] * b;
+        }
+      }
+      target += phi * normal_lpdf(acc | 0, 1) - fabs(b)^1.5;
+    }
+    """
+    x = np.arange(6, dtype=float)
+    m = compile_stan_program(src, {"N": 2, "C": 3, "x": x.tolist()})
+    th = jnp.asarray([0.5], dtype=jnp.float32)
+    from smcnuts_tpu.models.base import normal_lpdf as nl
+
+    expected_ll = nl(jnp.float32(x.sum() * 0.5), 0.0, 1.0)
+    np.testing.assert_allclose(m.loglik(th), expected_ll, rtol=1e-5)
+    np.testing.assert_allclose(
+        m.logprior(th), -abs(0.5) ** 1.5, rtol=1e-5
+    )
