@@ -64,7 +64,10 @@ def make_arma(y=None, fused: str | None = None) -> Model:
     if y is None:
         data = np.load(_ASSET)
         y = np.asarray(data["y"], dtype=np.float64)
-    y = jnp.asarray(y)
+    # Static data stays numpy: model construction may happen inside a jit
+    # trace (jnp ops there yield tracers, breaking tile-model constant
+    # baking); numpy closes over as a trace-time constant either way.
+    y = np.asarray(y)
     y_prev = y[:-1]
 
     def logprior(theta):

@@ -24,6 +24,8 @@ import dataclasses
 from typing import Callable, Sequence
 
 import jax
+import math
+
 import jax.numpy as jnp
 
 
@@ -95,7 +97,10 @@ def make_logp_vg(model: Model, phi) -> Callable[[jax.Array], tuple]:
 
 # Shared Stan-math density helpers (constants included, matching Stan).
 
-LOG_SQRT_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+# Python float, not a jnp scalar: this constant is folded into tile-model
+# immediates at build time, which may happen inside a jit trace (jnp
+# arithmetic there would yield a tracer and break float() baking).
+LOG_SQRT_2PI = float(0.5 * math.log(2.0 * math.pi))
 
 
 def normal_lpdf(x, mu, sigma):

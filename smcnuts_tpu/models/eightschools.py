@@ -63,8 +63,9 @@ def _tile_model(y, sig):
 
 
 def make_eightschools(y=None, sigma=None) -> Model:
-    y = jnp.asarray(Y if y is None else y, dtype=float)
-    sig = jnp.asarray(SIGMA if sigma is None else sigma, dtype=float)
+    # numpy, not jnp: see models/arma.py — construction must work under jit.
+    y = np.asarray(Y if y is None else y, dtype=float)
+    sig = np.asarray(SIGMA if sigma is None else sigma, dtype=float)
     J = y.shape[0]
 
     def logprior(theta):

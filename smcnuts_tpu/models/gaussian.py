@@ -11,6 +11,7 @@ Gaussians with known moments at every phi.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .base import LOG_SQRT_2PI, Model
 
@@ -25,8 +26,9 @@ def make_gaussian(mean, var, prior_var=None) -> Model:
     `tempered_moments`. If prior_var is None, the whole density is the prior
     (untempered target) and loglik = 0 contributes nothing.
     """
-    mean = jnp.asarray(mean, dtype=float)
-    var = jnp.asarray(var, dtype=float)
+    # numpy, not jnp: see models/arma.py — construction must work under jit.
+    mean = np.asarray(mean, dtype=float)
+    var = np.asarray(var, dtype=float)
     D = mean.shape[0]
 
     def target_logpdf(theta):
@@ -40,7 +42,7 @@ def make_gaussian(mean, var, prior_var=None) -> Model:
             return jnp.zeros(())
 
     else:
-        pvar = jnp.asarray(prior_var, dtype=float)
+        pvar = np.asarray(prior_var, dtype=float)
 
         def logprior(theta):
             z2 = theta**2 / pvar
@@ -55,8 +57,6 @@ def make_gaussian(mean, var, prior_var=None) -> Model:
     # Whole-tree Pallas backend plug-in via in-kernel autodiff (see
     # ops/nuts_pallas.elementwise_tile_model). Tempered density matches
     # logprior + phi*loglik exactly: (1-phi)*logprior + phi*log target.
-    import numpy as np
-
     from ..ops.nuts_pallas import elementwise_tile_model
 
     mean_f = np.asarray(mean, np.float32)

@@ -67,8 +67,9 @@ def make_logistic(X=None, y=None, prior_scale=2.5) -> Model:
     X = np.asarray(X, np.float32)
     y = np.asarray(y, np.float32)
     n_obs, D = X.shape
-    Xj = jnp.asarray(X)
-    yj = jnp.asarray(y)
+    # numpy, not jnp: see models/arma.py — construction must work under jit.
+    Xj = np.asarray(X)
+    yj = np.asarray(y)
     ps = float(prior_scale)
 
     def logprior(beta):

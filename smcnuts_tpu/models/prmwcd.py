@@ -34,8 +34,9 @@ def make_prmwcd(y=None, X=None, q=None) -> Model:
     data = None
     if y is None or X is None or q is None:
         data = np.load(_ASSET)
-    y = jnp.asarray(y if y is not None else data["y"], dtype=float)
-    X = jnp.asarray(X if X is not None else data["X"])
+    # numpy, not jnp: see models/arma.py — construction must work under jit.
+    y = np.asarray(y if y is not None else data["y"], dtype=float)
+    X = np.asarray(X if X is not None else data["X"])
     q = float(q if q is not None else data["q"])
     M = X.shape[1] + 1  # 12 betas: intercept + Clength kernel coefficients
 

@@ -85,36 +85,40 @@ def _uniform(shape):
 
 
 def _nuts_kernel(
-    seed_ref, phi_ref, eps_ref, im_ref, nvalid_ref, x_ref, r_ref, *rest,
-    tile_fn, D, max_depth, n_extra,
+    seed_ref, nvalid_ref, phi_ref, eps_ref, im_ref, x_ref, r_ref, *rest,
+    tile_fn, D, max_depth, n_extra, n_per_run,
 ):
     extra_refs = rest[:n_extra]
     (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
      ck_x, ck_r) = rest[n_extra:]
 
-    # Grid is (B, nblk): axis 0 indexes independent runs (batched SMC runs
-    # under jax.vmap share one kernel launch), axis 1 the particle blocks of
-    # each run. Run-level parameters (seed, phi, eps, inv mass) are SMEM
-    # arrays indexed by the run id.
-    b = pl.program_id(0)
-    blk = pl.program_id(1)
-    pltpu.prng_seed(
-        seed_ref[b] + blk * jnp.int32(1000003) + b * jnp.int32(7919)
-    )
-    phi = phi_ref[b]
-    eps = eps_ref[b]
+    # Grid is (nblk,) over a FLAT particle axis: batched SMC runs (jax.vmap
+    # Monte-Carlo replicas) are concatenated along it, so blocks pack full —
+    # a run whose N is below the 1024-lane block shares its block with the
+    # next run instead of wasting idle lanes (25 runs x 512 particles = 13
+    # full blocks rather than 25 half-empty ones). Run-level parameters
+    # (phi, step size, inverse mass) therefore arrive as PER-LANE tiles;
+    # every use below is elementwise, so mixed-run blocks are exact.
+    blk = pl.program_id(0)
+    # Stream decorrelation: one PRNG stream per block, anchored to the seed
+    # of the first run whose particles land in this block (for B = 1 this is
+    # exactly the historical seed + blk * 1000003 stream).
+    run0 = (blk * jnp.int32(_BLOCK)) // jnp.int32(n_per_run)
+    pltpu.prng_seed(seed_ref[run0] + blk * jnp.int32(1000003))
+    phi = phi_ref[0]
+    eps = eps_ref[0]
     # Diagonal inverse mass matrix (identity in the reference, nuts.py:67):
     # kinetic energy 0.5 r^T M^{-1} r, drift x += eps * M^{-1} r, U-turn
     # criterion on velocities M^{-1} r — same math as ops/nuts.py.
-    im = [im_ref[b, d] for d in range(D)]
+    im = [im_ref[0, d] for d in range(D)]
 
     shape = (_SUBLANES, _LANES)
 
     def model(x_tiles):
         return tile_fn(extra_refs, x_tiles, phi)
 
-    x0 = [x_ref[0, 0, d] for d in range(D)]
-    r0 = [r_ref[0, 0, d] for d in range(D)]
+    x0 = [x_ref[0, d] for d in range(D)]
+    r0 = [r_ref[0, d] for d in range(D)]
     # Materialized zero tile: splat-constant zeros get a replicated vector
     # layout in Mosaic, which cannot be carried through while loops whose
     # bodies produce materialized layouts ("Invalid relayout" otherwise).
@@ -301,50 +305,70 @@ def _nuts_kernel(
     )
 
     for d in range(D):
-        x_out[0, 0, d] = xs[d]
-        r_out[0, 0, d] = rs[d]
-    logp0_out[0, 0] = logp0
-    lp_out[0, 0] = lps
-    astat_out[0, 0] = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
-    depth_out[0, 0] = depth_done
-    leaf_out[0, 0] = lf_cnt + 1.0
+        x_out[0, d] = xs[d]
+        r_out[0, d] = rs[d]
+    logp0_out[0] = logp0
+    lp_out[0] = lps
+    astat_out[0] = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
+    depth_out[0] = depth_done
+    leaf_out[0] = lf_cnt + 1.0
 
 
 def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
                          inv_mass, max_depth, interpret):
     """Batched core: x, r are (B, N, D); seed (B,) int32; step_size, phi
-    (B,) f32; inv_mass (B, D) f32. One kernel launch covers all B runs via a
-    (B, nblk) grid."""
+    (B,) f32; inv_mass (B, D) f32.
+
+    The B runs are FLATTENED into one (B*N)-particle axis so kernel blocks
+    pack full: with N below the 1024-lane block size, separate per-run grids
+    would leave every block part-idle (e.g. the 25-run reference-config batch
+    = 25 half-empty blocks), whereas the flat layout runs ceil(B*N/1024)
+    full blocks (13). Run-level parameters become per-lane tiles; every use
+    in the kernel is elementwise, so blocks holding particles of two runs
+    compute each lane under its own run's (phi, step size, inverse mass).
+    """
     D = tile_model.dim
     B, n = x.shape[0], x.shape[1]
-    n_pad = -(-n // _BLOCK) * _BLOCK
+    total = B * n
+    n_pad = -(-total // _BLOCK) * _BLOCK
     nblk = n_pad // _BLOCK
 
     def to_tiles(a):
-        ap = jnp.zeros((n_pad, D), jnp.float32).at[:n].set(a)
+        # Particle p -> (block p//1024, sublane (p%1024)//128, lane p%128).
+        ap = jnp.zeros((n_pad, D), jnp.float32).at[:total].set(a)
         return ap.T.reshape(D, nblk, _SUBLANES, _LANES).transpose(1, 0, 2, 3)
 
-    x_t = jax.vmap(to_tiles)(x)
-    r_t = jax.vmap(to_tiles)(r)
+    def to_flat_tiles(a):
+        ap = jnp.zeros((n_pad,), jnp.float32).at[:total].set(a)
+        return ap.reshape(nblk, _SUBLANES, _LANES)
+
+    def per_particle(v):
+        # (B,) or (B, D) run-level values -> per-particle along the flat axis.
+        return jnp.repeat(v, n, axis=0, total_repeat_length=total)
+
+    x_t = to_tiles(x.reshape(total, D))
+    r_t = to_tiles(r.reshape(total, D))
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(B)
-    phi_arr = jnp.asarray(phi, jnp.float32).reshape(B)
-    eps_arr = jnp.asarray(step_size, jnp.float32).reshape(B)
-    im_arr = jnp.asarray(inv_mass, jnp.float32).reshape(B, D)
-    nvalid_arr = jnp.asarray(n, jnp.int32).reshape(1)
+    phi_t = to_flat_tiles(per_particle(jnp.asarray(phi, jnp.float32).reshape(B)))
+    eps_t = to_flat_tiles(
+        per_particle(jnp.asarray(step_size, jnp.float32).reshape(B))
+    )
+    im_t = to_tiles(per_particle(jnp.asarray(inv_mass, jnp.float32).reshape(B, D)))
+    nvalid_arr = jnp.asarray(total, jnp.int32).reshape(1)
 
     tile_spec = pl.BlockSpec(
-        (1, 1, D, _SUBLANES, _LANES), lambda b, i: (b, i, 0, 0, 0),
+        (1, D, _SUBLANES, _LANES), lambda i: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     flat_spec = pl.BlockSpec(
-        (1, 1, _SUBLANES, _LANES), lambda b, i: (b, i, 0, 0),
+        (1, _SUBLANES, _LANES), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
     flat_shape = jax.ShapeDtypeStruct(
-        (B, nblk, _SUBLANES, _LANES), jnp.float32
+        (nblk, _SUBLANES, _LANES), jnp.float32
     )
     tile_shape = jax.ShapeDtypeStruct(
-        (B, nblk, D, _SUBLANES, _LANES), jnp.float32
+        (nblk, D, _SUBLANES, _LANES), jnp.float32
     )
 
     kernel = partial(
@@ -353,17 +377,18 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         D=D,
         max_depth=max_depth,
         n_extra=len(tile_model.extra),
+        n_per_run=n,
     )
 
     outs = pl.pallas_call(
         kernel,
-        grid=(B, nblk),
+        grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # phi (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv mass diag (B, D)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n valid
+            flat_spec,  # phi per lane
+            flat_spec,  # eps per lane
+            tile_spec,  # inv mass diag per lane
             tile_spec,  # x
             tile_spec,  # r
             *[
@@ -385,33 +410,36 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         ],
         # TPU-semantics interpreter (supports the TPU PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, phi_arr, eps_arr, im_arr, nvalid_arr, x_t, r_t,
+    )(seed_arr, nvalid_arr, phi_t, eps_t, im_t, x_t, r_t,
       *tile_model.extra)
 
     x_new_t, r_new_t, lp0, lp, astat, depth, leaps = outs
 
     def from_tiles(a):
-        return a.transpose(1, 0, 2, 3).reshape(D, n_pad).T[:n]
+        flat = a.transpose(1, 0, 2, 3).reshape(D, n_pad).T[:total]
+        return flat.reshape(B, n, D)
 
     def from_flat(a):
-        return a.reshape(n_pad)[:n]
+        return a.reshape(n_pad)[:total].reshape(B, n)
 
     stats = {
-        "logp0": jax.vmap(from_flat)(lp0),
-        "logp_prop": jax.vmap(from_flat)(lp),
-        "accept_stat": jax.vmap(from_flat)(astat),
-        "depth": jax.vmap(from_flat)(depth),
-        "leapfrogs": jax.vmap(from_flat)(leaps),
+        "logp0": from_flat(lp0),
+        "logp_prop": from_flat(lp),
+        "accept_stat": from_flat(astat),
+        "depth": from_flat(depth),
+        "leapfrogs": from_flat(leaps),
     }
-    return jax.vmap(from_tiles)(x_new_t), jax.vmap(from_tiles)(r_new_t), stats
+    return from_tiles(x_new_t), from_tiles(r_new_t), stats
 
 
 def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool):
     """custom_vmap wrapper: jax.vmap over (x, r, seed, step_size, phi,
-    inv_mass) lowers to ONE batched kernel launch with a (B, nblk) grid —
-    B independent SMC runs (e.g. Monte-Carlo replicas) share the device
-    without serializing (pallas_call has no generic batching rule, and the
-    runs would otherwise lax.map sequentially)."""
+    inv_mass) lowers to ONE batched kernel launch over the flattened
+    (B*N)-particle axis — B independent SMC runs (e.g. Monte-Carlo replicas)
+    pack the 1024-lane blocks full instead of serializing (pallas_call has
+    no generic batching rule; runs would otherwise lax.map sequentially) or
+    wasting idle lanes (a per-run grid would round every run up to a whole
+    block)."""
 
     @jax.custom_batching.custom_vmap
     def fn(x, r, seed, step_size, phi, inv_mass):
