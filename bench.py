@@ -1,53 +1,71 @@
 """Headline benchmark: particle-iterations/s/chip on the arma model.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R, "secondary": {...}}
 
 The workload is the BASELINE.json reference config: arma Stan model, N=512
 particles, K=100 SMC iterations, forwards-proposal L-kernel, step size 0.01,
-max tree depth 10. `vs_baseline` is the speedup over the measured serial CPU
-baseline (the reference publishes no numbers — SURVEY.md §6 — so the baseline
-is our reference-faithful serial NumPy implementation, measured at a reduced
-particle count and normalized per particle-iteration; its per-particle cost
-is constant in N since the reference's hot loop is a serial Python for).
+max tree depth 10 — plus the same config on PRMwCD as a secondary metric (the
+reference treats the two models symmetrically,
+/root/reference/experiments/run_experiments.py:44-47). `vs_baseline` is the
+speedup over the measured serial CPU baseline (the reference publishes no
+numbers — SURVEY.md §6 — so the baseline is our reference-faithful serial
+NumPy implementation, normalized per particle-iteration; its per-particle
+cost is constant in N since the reference's hot loop is a serial Python for).
+
+Measurement integrity (the round-1 number was ~1000x inflated — VERDICT.md
+"What's weak" #1): on this machine `jax.block_until_ready` does NOT
+synchronize on the axon relay transport, and the relay memoizes dispatches
+with previously-seen (program, args) even across processes. All timing
+therefore (a) uses PRNG keys derived from os.urandom per process, and
+(b) times to HOST MATERIALIZATION of the outputs (np.asarray), the only
+reliable sync point. A credibility guard rejects any "measurement" faster
+than a few relay round trips.
 """
 
 import json
 import sys
-import time
 
 import jax
-import numpy as np
+
+from smcnuts_tpu.utils.timing import (
+    RELAY_RTT_S,
+    fresh_keys,
+    time_materialized,
+)
 
 N = 512
 K = 100
-STEP = 0.01
 BASELINE_N = 8
 BASELINE_K = 2
-
+BASELINE_REPEATS = 3
 
 # Independent SMC runs per dispatch (see measure_tpu docstring). 25 is the
 # reference's own Monte-Carlo count (run_experiments.py:38).
 N_RUNS = 25
 
+# Any timed batch faster than this is a transport artifact (cache hit or
+# missing synchronization), not a chip measurement: 25 runs cannot finish
+# in fewer than a handful of relay round trips of device time.
+MIN_CREDIBLE_S = 3 * RELAY_RTT_S
 
-def measure_tpu():
+
+def measure_tpu(model_name, step_size):
     """Throughput over N_RUNS independent full SMC runs executed in ONE
-    device dispatch (lax.map over seeds). A single dispatch over the axon
-    relay carries ~25 ms of host<->chip round-trip latency — 2x the actual
-    device time of the whole reference-config run — so per-run wall time
-    measures the link, not the chip. Amortizing over a batch of runs inside
-    one program reports what the chip sustains (the production shape: many
-    Monte-Carlo runs, as in the reference's 25-run experiment driver). The
-    batch is jax.vmap'd: the NUTS kernel's custom_vmap rule collapses all
-    runs into one multi-run kernel launch per iteration, and the SMC
-    epilogue ops vectorize across runs."""
+    device dispatch. A single dispatch over the axon relay carries ~25 ms of
+    host<->chip round-trip latency — more than the device time of one
+    reference-config run — so per-run wall time measures the link, not the
+    chip. Amortizing over a batch of runs inside one program reports what the
+    chip sustains (the production shape: many Monte-Carlo runs, as in the
+    reference's 25-run experiment driver). The batch is jax.vmap'd: the NUTS
+    kernel's custom_vmap rule collapses all runs into one multi-run kernel
+    launch per iteration."""
     from smcnuts_tpu import SMCConfig, run_smc
-    from smcnuts_tpu.models import make_arma
+    from smcnuts_tpu.models import get_model
 
-    model = make_arma()
+    model = get_model(model_name)
     cfg = SMCConfig(
-        n_particles=N, n_iterations=K, step_size=STEP,
+        n_particles=N, n_iterations=K, step_size=step_size,
         lkernel="forwardsLKernel", save_history=False,
     )
 
@@ -56,18 +74,21 @@ def measure_tpu():
         return r.mean_estimate[-1], r.ess[-1]
 
     f = jax.jit(jax.vmap(one))
-    # Compile + warm up.
-    jax.block_until_ready(f(jax.random.split(jax.random.key(0), N_RUNS)))
-    times = []
-    for i in range(3):
-        # Fresh keys per repetition: the transport layer on some setups
-        # (axon relay) memoizes dispatches with identical arguments, which
-        # would make repeat timings fiction.
-        keys = jax.random.split(jax.random.key(i + 1), N_RUNS)
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(keys))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best, _ = time_materialized(f, lambda: (fresh_keys(N_RUNS),), repeats=3)
+    if best < MIN_CREDIBLE_S:
+        # Re-measure with a 4x larger batch: if the first number was a
+        # transport artifact this one cannot also be, and if the chip really
+        # is that fast the bigger batch still reports it faithfully.
+        print(
+            f"# WARNING: {model_name} best={best * 1e3:.2f}ms is below the "
+            f"credibility floor ({MIN_CREDIBLE_S * 1e3:.0f}ms); re-measuring "
+            "with a 4x batch",
+            file=sys.stderr,
+        )
+        best4, _ = time_materialized(
+            f, lambda: (fresh_keys(4 * N_RUNS),), repeats=3
+        )
+        return 4 * N_RUNS * N * K / best4, best4
     return N_RUNS * N * K / best, best
 
 
@@ -77,38 +98,54 @@ def measure_baseline():
     stand-in for BridgeStan's C++ log-density; BridgeStan's per-call FFI
     would be a few-fold faster per evaluation, so the reported speedup is
     conservative-to-moderate, not a dispatch artifact)."""
+    import time
+
     from smcnuts_tpu.baselines.numpy_smc import NumpyArmaModel, run_numpy_smc
 
     model = NumpyArmaModel()
-    t0 = time.perf_counter()
-    run_numpy_smc(
-        model, BASELINE_N, BASELINE_K, STEP,
-        lkernel="forwardsLKernel", tempering=False, seed=0,
-    )
-    elapsed = time.perf_counter() - t0
-    return BASELINE_N * BASELINE_K / elapsed
+    best = float("inf")
+    for rep in range(BASELINE_REPEATS):
+        t0 = time.perf_counter()
+        run_numpy_smc(
+            model, BASELINE_N, BASELINE_K, 0.01,
+            lkernel="forwardsLKernel", tempering=False, seed=rep,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return BASELINE_N * BASELINE_K / best
 
 
 def main():
-    value, best = measure_tpu()
-    print(f"# tpu: N={N} K={K} best={best:.3f}s", file=sys.stderr)
+    value, best = measure_tpu("arma", step_size=0.01)
+    print(f"# tpu arma: N={N} K={K} runs={N_RUNS} best={best:.3f}s",
+          file=sys.stderr)
+    try:
+        prm_value, prm_best = measure_tpu("prmwcd", step_size=0.01)
+        print(f"# tpu prmwcd: N={N} K={K} runs={N_RUNS} best={prm_best:.3f}s",
+              file=sys.stderr)
+    except Exception as e:  # secondary metric failure must not kill the bench
+        print(f"# prmwcd failed: {e}", file=sys.stderr)
+        prm_value = None
     try:
         baseline_rate = measure_baseline()
-        print(f"# baseline: {baseline_rate:.2f} particle-iters/s", file=sys.stderr)
+        print(f"# baseline: {baseline_rate:.2f} particle-iters/s",
+              file=sys.stderr)
         vs = value / baseline_rate
     except Exception as e:  # baseline failure must not kill the bench
         print(f"# baseline failed: {e}", file=sys.stderr)
         vs = None
-    print(
-        json.dumps(
-            {
-                "metric": "particle_iterations_per_s_chip_arma",
-                "value": round(value, 1),
-                "unit": "particle-iterations/s",
-                "vs_baseline": round(vs, 2) if vs else None,
-            }
-        )
-    )
+    line = {
+        "metric": "particle_iterations_per_s_chip_arma",
+        "value": round(value, 1),
+        "unit": "particle-iterations/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+    if prm_value is not None:
+        line["secondary"] = {
+            "metric": "particle_iterations_per_s_chip_prmwcd",
+            "value": round(prm_value, 1),
+            "unit": "particle-iterations/s",
+        }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

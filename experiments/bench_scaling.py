@@ -11,7 +11,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,6 +18,7 @@ import jax
 
 from smcnuts_tpu import SMCConfig, run_smc
 from smcnuts_tpu.models import get_model
+from smcnuts_tpu.utils.timing import fresh_key, time_materialized
 
 
 def measure(model, n, k, backend, step_size=0.01, repeats=3):
@@ -27,12 +27,10 @@ def measure(model, n, k, backend, step_size=0.01, repeats=3):
         lkernel="forwardsLKernel", save_history=False, nuts_backend=backend,
     )
     f = jax.jit(lambda key: run_smc(model, cfg, key))
-    jax.block_until_ready(f(jax.random.key(0)))
-    best = float("inf")
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(jax.random.key(i + 1)))
-        best = min(best, time.perf_counter() - t0)
+    # Fresh urandom keys per repetition + host-materialization sync: the
+    # relay transport memoizes repeated args and ignores block_until_ready
+    # (utils/timing.py).
+    best, _ = time_materialized(f, lambda: (fresh_key(),), repeats=repeats)
     return n * k / best, best
 
 

@@ -29,6 +29,7 @@ import jax
 from smcnuts_tpu import SMCConfig, run_smc
 from smcnuts_tpu.models import get_model
 from smcnuts_tpu.utils.io import save_run_csvs
+from smcnuts_tpu.utils.timing import fresh_keys, materialize, time_materialized
 
 STRATEGIES = {
     "forward_lkernel": dict(lkernel="forwardsLKernel", tempering=False),
@@ -127,10 +128,16 @@ def main(argv=None):
 
         for name in args.strategies:
             batched = make_batched(fns[name])
-            jax.block_until_ready(batched(keys))  # compile
-            t0 = time.time()
-            results = jax.block_until_ready(batched(keys))
-            dt = time.time() - t0
+            # Results come from the canonical reproducible seeds; the TIMED
+            # call uses fresh os.urandom keys and host materialization —
+            # repeating the canonical keys would hit the relay memo-cache and
+            # block_until_ready does not synchronize on this transport
+            # (utils/timing.py). The results call doubles as the warmup.
+            results = materialize(batched(keys))
+            dt, _ = time_materialized(
+                batched, lambda b=batched: (fresh_keys(args.runs),),
+                repeats=2, warmup=False,
+            )
             timings[name] = [dt / args.runs] * args.runs
             for i in range(args.runs):
                 run_i = jax.tree.map(
@@ -151,10 +158,11 @@ def main(argv=None):
         for i in range(args.runs):
             seed = args.seed0 * (i + 1)
             for name in args.strategies:
+                # Per-run wall includes the ~25 ms relay round trip; timed to
+                # host materialization (block_until_ready is a no-op on this
+                # transport). Use --vmap-runs for chip-throughput numbers.
                 t0 = time.time()
-                result = jax.block_until_ready(
-                    fns[name](jax.random.key(seed))
-                )
+                result = materialize(fns[name](jax.random.key(seed)))
                 dt = time.time() - t0
                 timings[name].append(dt)
                 save_run_csvs(result, name, i, output_dir)

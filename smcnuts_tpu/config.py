@@ -31,6 +31,13 @@ class SMCConfig:
     adapt_step_size: bool = False  # dual-averaging step-size adaptation
     adapt_mass_matrix: bool = False  # diagonal mass matrix from particle var
     target_accept: float = 0.8  # dual-averaging target acceptance
+    # Fraction of the K iterations used as dual-averaging warmup; after it
+    # the step size FREEZES at the averaged iterate exp(log_step_avg)
+    # (Hoffman & Gelman 2014 Alg. 6 — adapting forever leaves the step size
+    # jittering at equilibrium). 1.0 = adapt for the whole run (the raw
+    # iterate is still replaced by the averaged one only at freeze time, so
+    # 1.0 means "never freeze").
+    adapt_warmup_frac: float = 0.5
     dtype: str = "float32"
     # NUTS execution backend: "xla" (vmapped while-loops; any model),
     # "pallas" (whole tree in one TPU kernel; requires model.tile_model —
@@ -59,6 +66,11 @@ class SMCConfig:
         if self.nuts_backend not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"Unknown nuts_backend '{self.nuts_backend}'"
+            )
+        if not 0.0 < self.adapt_warmup_frac <= 1.0:
+            raise ValueError(
+                "adapt_warmup_frac must be in (0, 1], got "
+                f"{self.adapt_warmup_frac}"
             )
         if self.lkernel == "asymptoticLKernel" and not self.save_history:
             raise ValueError(

@@ -86,7 +86,7 @@ def _uniform(shape):
 
 def _nuts_kernel(
     seed_ref, nvalid_ref, phi_ref, eps_ref, im_ref, x_ref, r_ref, *rest,
-    tile_fn, D, max_depth, n_extra, n_per_run,
+    tile_fn, D, max_depth, n_extra, n_per_run, n_runs,
 ):
     extra_refs = rest[:n_extra]
     (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
@@ -100,11 +100,33 @@ def _nuts_kernel(
     # (phi, step size, inverse mass) therefore arrive as PER-LANE tiles;
     # every use below is elementwise, so mixed-run blocks are exact.
     blk = pl.program_id(0)
-    # Stream decorrelation: one PRNG stream per block, anchored to the seed
-    # of the first run whose particles land in this block (for B = 1 this is
-    # exactly the historical seed + blk * 1000003 stream).
+    # Stream decorrelation: one PRNG stream per block, seeded from EVERY run
+    # whose particles can land in this block (a block spanning two runs must
+    # respond to either run's seed — seeding from run0 alone would silently
+    # ignore the second run's seed; ADVICE r1). The count of runs per block
+    # is a static bound, so the mix is straight-line scalar code. For a
+    # single-block-aligned run (B=1, or N a multiple of the 1024-lane block)
+    # this reduces to the historical seed + blk * 1000003 stream.
     run0 = (blk * jnp.int32(_BLOCK)) // jnp.int32(n_per_run)
-    pltpu.prng_seed(seed_ref[run0] + blk * jnp.int32(1000003))
+    if n_per_run % _BLOCK == 0:
+        max_runs_in_block = 1
+    else:
+        max_runs_in_block = min(n_runs, (_BLOCK - 1) // n_per_run + 2)
+    if max_runs_in_block == 1:
+        pltpu.prng_seed(seed_ref[run0] + blk * jnp.int32(1000003))
+    else:
+        # Mosaic's tpu.prng_set_seed_32 accepts AT MOST TWO scalar values,
+        # so the seeds of every covered run are folded into one 32-bit
+        # polynomial hash (wrapping int32 arithmetic) — each run's seed
+        # still perturbs the block's stream — and the block id is the
+        # second value.
+        last = jnp.int32(n_runs - 1)
+        mixed = jnp.int32(0)
+        for j in range(max_runs_in_block):
+            mixed = mixed * jnp.int32(65599) + seed_ref[
+                jnp.minimum(run0 + jnp.int32(j), last)
+            ]
+        pltpu.prng_seed(mixed, blk * jnp.int32(1000003))
     phi = phi_ref[0]
     eps = eps_ref[0]
     # Diagonal inverse mass matrix (identity in the reference, nuts.py:67):
@@ -333,13 +355,13 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
     n_pad = -(-total // _BLOCK) * _BLOCK
     nblk = n_pad // _BLOCK
 
-    def to_tiles(a):
+    def to_tiles(a, fill=0.0):
         # Particle p -> (block p//1024, sublane (p%1024)//128, lane p%128).
-        ap = jnp.zeros((n_pad, D), jnp.float32).at[:total].set(a)
+        ap = jnp.full((n_pad, D), fill, jnp.float32).at[:total].set(a)
         return ap.T.reshape(D, nblk, _SUBLANES, _LANES).transpose(1, 0, 2, 3)
 
-    def to_flat_tiles(a):
-        ap = jnp.zeros((n_pad,), jnp.float32).at[:total].set(a)
+    def to_flat_tiles(a, fill=0.0):
+        ap = jnp.full((n_pad,), fill, jnp.float32).at[:total].set(a)
         return ap.reshape(nblk, _SUBLANES, _LANES)
 
     def per_particle(v):
@@ -349,11 +371,22 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
     x_t = to_tiles(x.reshape(total, D))
     r_t = to_tiles(r.reshape(total, D))
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(B)
-    phi_t = to_flat_tiles(per_particle(jnp.asarray(phi, jnp.float32).reshape(B)))
-    eps_t = to_flat_tiles(
-        per_particle(jnp.asarray(step_size, jnp.float32).reshape(B))
+    # Padding lanes (flat index >= total) are permanently masked inside the
+    # kernel (they start stopped), but their per-lane PARAMETERS are padded
+    # with benign values (1.0) rather than zeros: phi/eps/inv_mass of 0 can
+    # manufacture NaNs (0 * inf) in the dead lanes, and while every consumer
+    # is currently lane-masked, NaN-free dead lanes are one less invariant a
+    # future edit can silently break (ADVICE r1).
+    phi_t = to_flat_tiles(
+        per_particle(jnp.asarray(phi, jnp.float32).reshape(B)), fill=1.0
     )
-    im_t = to_tiles(per_particle(jnp.asarray(inv_mass, jnp.float32).reshape(B, D)))
+    eps_t = to_flat_tiles(
+        per_particle(jnp.asarray(step_size, jnp.float32).reshape(B)), fill=1.0
+    )
+    im_t = to_tiles(
+        per_particle(jnp.asarray(inv_mass, jnp.float32).reshape(B, D)),
+        fill=1.0,
+    )
     nvalid_arr = jnp.asarray(total, jnp.int32).reshape(1)
 
     tile_spec = pl.BlockSpec(
@@ -378,6 +411,7 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         max_depth=max_depth,
         n_extra=len(tile_model.extra),
         n_per_run=n,
+        n_runs=B,
     )
 
     outs = pl.pallas_call(
@@ -493,6 +527,14 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
     calls collapse into a single multi-run kernel launch, so
     `jax.vmap(run_smc)` over seeds runs B Monte-Carlo replicas concurrently
     on one chip.
+
+    Batched seed semantics: runs are flat-packed into 1024-lane blocks, and
+    each block's PRNG stream is seeded from the block id plus the seeds of
+    ALL runs intersecting the block — so every run's seed influences its
+    randomness (changing any one run's seed changes its block's stream), but
+    a batched run's bit-stream intentionally differs from the same seed run
+    solo (lane positions differ). Cross-checks between batched and single
+    runs are therefore statistical, like every other PRNG cross-check here.
     """
     D = tile_model.dim
     per_model = _VMAPPABLE_CACHE.get(tile_model)

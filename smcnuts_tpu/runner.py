@@ -24,11 +24,6 @@ from .proposals import DiagNormalProposal
 from .sampler import SMCResult, _make_step, finalize, init_state
 from .utils.checkpoint import load_checkpoint, save_checkpoint
 
-_DIAG_KEYS = (
-    "phi", "log_likelihood", "ess", "mean", "var", "acceptance",
-    "resampled", "step_size", "x_hist", "logw_hist",
-)
-
 
 class ChunkedRunner:
     def __init__(self, model: Model, cfg: SMCConfig, checkpoint_path=None,
@@ -54,7 +49,11 @@ class ChunkedRunner:
             )
         )
 
-    def run(self, key) -> SMCResult:
+    def run(self, key, progress=None) -> SMCResult:
+        """Run to completion, resuming from the checkpoint if one exists.
+        `progress`, if given, is called as progress(k_done, K) after every
+        chunk (SMCSampler uses it to restore the reference's tqdm bar,
+        reference smc_sampler.py:109)."""
         cfg = self.cfg
         carry, k_post = self._init(key)
         x0, logw0 = carry.x, carry.logw
@@ -69,6 +68,8 @@ class ChunkedRunner:
             diags = {
                 name: [saved[name]] for name in saved
             }
+        if progress is not None and k_done:
+            progress(k_done, cfg.n_iterations)
 
         while k_done < cfg.n_iterations:
             length = min(self.chunk_size, cfg.n_iterations - k_done)
@@ -84,6 +85,8 @@ class ChunkedRunner:
                     k_done,
                     {n: np.concatenate(v, axis=0) for n, v in diags.items()},
                 )
+            if progress is not None:
+                progress(k_done, cfg.n_iterations)
 
         outs_full = {
             name: np.concatenate(chunks, axis=0) for name, chunks in diags.items()

@@ -147,9 +147,14 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             seed = jax.random.randint(
                 k_nuts, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
+            # Off-TPU the kernel runs under the TPU-semantics interpreter so
+            # the full pallas code path (incl. the shard_map wiring below) is
+            # executable in CPU-sim tests and the driver's multi-chip dryrun.
+            interpret = jax.default_backend() != "tpu"
             base_kernel = lambda xx, rr, sd: nuts_batch_pallas(
                 model.tile_model, xx, rr, sd, carry.step_size, phi,
                 inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
+                interpret=interpret,
             )
             kernel_call = base_kernel
             if mesh is not None:
@@ -274,9 +279,25 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         step_size = carry.step_size
         da = carry.da
         if cfg.adapt_step_size:
-            da = da_update(da, tree_stats["accept_stat"].mean(),
-                           target=cfg.target_accept)
-            step_size = jnp.exp(da.log_step)
+            # Hoffman & Gelman 2014 Alg. 6: adapt on the raw iterate during
+            # warmup, then FREEZE at the averaged iterate exp(log_step_avg)
+            # for the remaining iterations (the raw iterate keeps jittering
+            # at equilibrium; the averaged one converges). da.count doubles
+            # as the iteration counter, so the freeze survives chunked
+            # execution (runner.ChunkedRunner) unchanged.
+            warmup_iters = max(
+                1, round(cfg.adapt_warmup_frac * cfg.n_iterations)
+            )
+            in_warmup = carry.da.count < warmup_iters
+            da_new = da_update(carry.da, tree_stats["accept_stat"].mean(),
+                               target=cfg.target_accept)
+            da = jax.tree.map(
+                lambda new, old: jnp.where(in_warmup, new, old),
+                da_new, carry.da,
+            )
+            step_size = jnp.exp(
+                jnp.where(in_warmup, da.log_step, da.log_step_avg)
+            )
         inv_mass = carry.inv_mass
         if cfg.adapt_mass_matrix:
             wn_new, _ = normalise_weights(logw_new)
@@ -502,29 +523,72 @@ class SMCSampler:
         self.run_time = None
 
     def sample(self, seed=None, show_progress=False) -> SMCResult:
-        del show_progress  # whole run is one XLA program; no per-k callback
+        """Run the sampler. `show_progress=True` restores the reference's
+        per-iteration progress bar (reference smc_sampler.py:109): the run is
+        executed in jitted chunks via ChunkedRunner (bit-identical results —
+        chunking only cuts the scan) with a tqdm bar advanced per chunk."""
         key = jax.random.key(self.seed if seed is None else seed)
         if self.mesh is not None:
             from .parallel.sharding import shard_key
 
             key = shard_key(key, self.mesh)
+        # run_time is timed to HOST MATERIALIZATION of every output array:
+        # block_until_ready does not synchronize on relay transports (see
+        # utils/timing.py), so the host copy is the only honest sync point.
+        # The time includes compilation on first call and the per-dispatch
+        # transport round trip — it mirrors the reference's whole-run
+        # wall-clock semantics (reference smc_sampler.py:106,:155).
+        from .utils.timing import materialize
+
         start = time.time()
-        result = self._fn(key)
-        result = jax.tree.map(
-            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
-            result,
-        )
+        if show_progress:
+            result = self._sample_chunked_with_progress(key)
+        else:
+            result = self._fn(key)
+        result_np = materialize(result)
         self.run_time = time.time() - start
         self.result = result
-        # Reference-compatible attributes (smc_sampler.py:66-85).
-        self.mean_estimate = np.asarray(result.mean_estimate)
-        self.variance_estimate = np.asarray(result.variance_estimate)
-        self.ess = np.asarray(result.ess)
-        self.log_likelihood = np.asarray(result.log_likelihood)
-        self.phi = np.asarray(result.phi)
-        self.acceptance_rate = np.asarray(result.acceptance_rate)
-        self.resampled = np.asarray(result.resampled).tolist()
+        # Reference-compatible attributes (smc_sampler.py:66-85), already
+        # host-materialized by the timing sync above.
+        self.mean_estimate = result_np.mean_estimate
+        self.variance_estimate = result_np.variance_estimate
+        self.ess = result_np.ess
+        self.log_likelihood = result_np.log_likelihood
+        self.phi = result_np.phi
+        self.acceptance_rate = result_np.acceptance_rate
+        self.resampled = result_np.resampled.tolist()
         if result.x_saved is not None:
-            self.x_saved = np.asarray(result.x_saved)
-            self.logw_saved = np.asarray(result.logw_saved)
+            self.x_saved = result_np.x_saved
+            self.logw_saved = result_np.logw_saved
         return result
+
+    def _sample_chunked_with_progress(self, key) -> SMCResult:
+        from .runner import ChunkedRunner
+
+        runner = ChunkedRunner(
+            self.target, self.cfg,
+            chunk_size=max(1, -(-self.cfg.n_iterations // 20)),
+            sample_proposal=self._sample_proposal,
+            momentum_proposal=self._momentum_proposal,
+            mesh=self.mesh,
+        )
+        try:
+            from tqdm import tqdm
+
+            bar = tqdm(total=self.cfg.n_iterations, desc="SMC", unit="it")
+
+            def progress(k_done, total):
+                bar.n = k_done
+                bar.refresh()
+
+            try:
+                return runner.run(key, progress=progress)
+            finally:
+                bar.close()
+        except ImportError:
+            import sys
+
+            def progress(k_done, total):
+                print(f"SMC iteration {k_done}/{total}", file=sys.stderr)
+
+            return runner.run(key, progress=progress)

@@ -24,17 +24,25 @@ Semantics:
   (`arma.stan:30`, `PRMwCD.stan:32`), stated as such in their comments. A
   model with no `phi` in its data block gets `loglik = 0` and the full
   posterior as `logprior` (i.e. it runs untempered).
-- `constrain` maps theta to [parameters; transformed parameters], mirroring
-  bridgestan.py:93-120; `generated quantities` are not evaluated (they may
-  consume RNG; the reference's estimates only ever use parameters and
-  transformed parameters for the shipped models).
+- `constrain` maps theta to [parameters; transformed parameters; generated
+  quantities], mirroring bridgestan.py:93-120 including the fixed-seed RNG
+  the reference threads through `param_constrain` (`new_rng(seed=0)`,
+  bridgestan.py:106): every `*_rng` call in generated quantities draws from
+  a fixed jax.random key folded with a per-call-site counter, so constrained
+  estimates are deterministic run to run, exactly like the reference.
 
-Loops are unrolled in Python (bounds are data-derived Python ints), so data
-indexing folds to constants at trace time — idiomatic for XLA, which wants
-static shapes and straight-line code. Models with very long recurrences
-compile slower than a hand-written `lax.scan`/`associative_scan` equivalent
-(see models/arma.py for the hand-tuned version of the same density); the
-frontend trades peak compile speed for zero-toolchain generality.
+Loop compilation: short `for` loops are unrolled in Python (bounds are
+data-derived ints; data indexing folds to constants — ideal for XLA), but a
+loop of `scan_threshold` (default 64) or more iterations is LOWERED TO
+`lax.scan`: the variables its body assigns become the scan carry, reads and
+writes indexed by the loop variable become dynamic gathers / scatters, and
+`target +=` accumulates through the carry. A T-step recurrence then traces
+as one scan instead of T unrolled steps — compile time O(1) in T, which is
+what makes frontend-compiled models usable on the remote TPU compiler (an
+unrolled arma T=200 recurrence is a compile-time bomb there). Lowering is
+best-effort: any body the scan path cannot express (container declarations,
+parameter-dependent `if`, loop-variable-dependent inner bounds) silently
+falls back to the unrolled form, which is always semantically correct.
 """
 
 from __future__ import annotations
@@ -48,7 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import Model
-from .math import DISTRIBUTIONS, FUNCTIONS
+from .math import DISTRIBUTIONS, FUNCTIONS, RNG_FUNCTIONS
 from .parser import (
     Assign,
     Bin,
@@ -112,6 +120,47 @@ class _LocalArray:
     def as_array(self):
         return _stack_nested(self.data)
 
+    def as_array_filled(self, fill=float("nan")):
+        """Like as_array, but uninitialized elements become `fill` (NaN —
+        Stan's own value for undefined reals) instead of raising. Used when
+        a container becomes a lax.scan carry, where a read-before-write then
+        surfaces as NaN exactly as it would in Stan.
+
+        Mostly-uninitialized containers (the common pre-recurrence shape:
+        a handful of seed elements set before a long scanned loop) lower to
+        one jnp.full plus a few scatters rather than a T-element stack —
+        keeping the traced program O(1) in the container length."""
+        sets = []
+        complete = True
+
+        def walk(node, idx):
+            nonlocal complete
+            if isinstance(node, list):
+                for k, child in enumerate(node):
+                    walk(child, idx + (k,))
+            elif node is None:
+                complete = False
+            else:
+                sets.append((idx, node))
+
+        walk(self.data, ())
+        if complete:
+            return _stack_nested(self.data)
+        if len(sets) <= 32:
+            arr = jnp.full(self.dims, fill, dtype=float)
+            for idx, val in sets:
+                arr = arr.at[idx].set(jnp.asarray(val, dtype=float))
+            return arr
+
+        def conv(node):
+            if isinstance(node, list):
+                return jnp.stack([conv(x) for x in node])
+            if node is None:
+                return jnp.asarray(fill, dtype=float)
+            return jnp.asarray(node, dtype=float)
+
+        return conv(self.data)
+
 
 def _stack_nested(node):
     if isinstance(node, list):
@@ -142,13 +191,60 @@ def _require_int(v, what):
     )
 
 
+def _is_static_int(v):
+    return isinstance(v, (bool, np.bool_, int, np.integer)) or (
+        isinstance(v, float) and v == int(v)
+    )
+
+
+class _ScanLoweringError(Exception):
+    """A loop body the scan path cannot express; fall back to unrolling."""
+
+
+def _walk_writes(stmts, assigned, declared):
+    """Collect names assigned (carried state) and names declared (body
+    locals) in a loop body; raise _ScanLoweringError on constructs the scan
+    lowering cannot carry."""
+    for st in stmts:
+        if isinstance(st, list):
+            _walk_writes(st, assigned, declared)
+        elif isinstance(st, Decl):
+            declared.add(st.name)
+            if st.dims:
+                raise _ScanLoweringError(
+                    "container declared inside scanned loop body"
+                )
+        elif isinstance(st, Assign):
+            lv = st.lvalue
+            if isinstance(lv, Var):
+                assigned.add(lv.name)
+            elif isinstance(lv, Index) and isinstance(lv.base, Var):
+                assigned.add(lv.base.name)
+            else:
+                raise _ScanLoweringError("unsupported assignment target")
+        elif isinstance(st, For):
+            declared.add(st.var)  # loop variable is body-local
+            _walk_writes(st.body, assigned, declared)
+        elif isinstance(st, If):
+            _walk_writes(st.then, assigned, declared)
+            _walk_writes(st.other, assigned, declared)
+        # TargetPlus / Sampling accumulate into the target carry implicitly.
+
+
 # ------------------------------------------------------------- interpreter
 
 
 class _Interp:
-    def __init__(self, env):
+    def __init__(self, env, scan_threshold=None, rng_key=None):
         self.env = env  # name -> value
         self.target = jnp.asarray(0.0, dtype=float)
+        # Loops with at least this many iterations are lowered to lax.scan
+        # (None = always unroll; used for data/transformed-data evaluation,
+        # which must stay concrete).
+        self.scan_threshold = scan_threshold
+        # Fixed RNG for *_rng calls (generated quantities); None elsewhere.
+        self.rng_key = rng_key
+        self._rng_count = 0
 
     # -- expressions --
     def ev(self, node):
@@ -183,16 +279,19 @@ class _Interp:
         if isinstance(node, Index):
             base = self.ev(node.base)
             idxs = [self.ev(i) for i in node.indices]
-            if isinstance(base, _LocalArray):
-                return base.get([_require_int(i, "index") for i in idxs])
-            # numpy / jnp container: concrete 1-based indices
-            out = base
-            for i in idxs:
-                out = out[_require_int(i, "index") - 1]
-            return out
+            return self._index_read(base, idxs)
         if isinstance(node, Call):
             return self._call(node)
         raise StanCompileError(f"cannot evaluate node {node!r}")
+
+    def _index_read(self, base, idxs):
+        if isinstance(base, _LocalArray):
+            return base.get([_require_int(i, "index") for i in idxs])
+        # numpy / jnp container: concrete 1-based indices
+        out = base
+        for i in idxs:
+            out = out[_require_int(i, "index") - 1]
+        return out
 
     def _binop(self, node: Bin):
         op = node.op
@@ -241,6 +340,20 @@ class _Interp:
     def _call(self, node: Call):
         name = node.name
         args = [_as_value(self.ev(a)) for a in node.args]
+        if name.endswith("_rng"):
+            dist = name[: -len("_rng")]
+            if self.rng_key is None:
+                raise StanCompileError(
+                    f"{name} called outside generated quantities (RNG is "
+                    "only available there, as in Stan)"
+                )
+            if dist not in RNG_FUNCTIONS:
+                raise StanCompileError(f"unsupported RNG function {name!r}")
+            # Deterministic per-call-site stream off the fixed key — the
+            # reference's fixed-seed constrain RNG (bridgestan.py:106).
+            key = jax.random.fold_in(self.rng_key, self._rng_count)
+            self._rng_count += 1
+            return RNG_FUNCTIONS[dist](key, *args)
         for suffix in ("_lpdf", "_lpmf", "_lupdf", "_lupmf"):
             if name.endswith(suffix):
                 dist = name[: -len(suffix)]
@@ -297,6 +410,18 @@ class _Interp:
         elif isinstance(s, For):
             lo = _require_int(self.ev(s.lo), f"line {s.line}: loop bound")
             hi = _require_int(self.ev(s.hi), f"line {s.line}: loop bound")
+            if (
+                self.scan_threshold is not None
+                and hi - lo + 1 >= self.scan_threshold
+            ):
+                try:
+                    self._run_for_scanned(s, lo, hi)
+                    return
+                except Exception:
+                    # Lowering is best-effort; the unrolled path below is
+                    # always correct (and re-raises genuine program errors
+                    # with their real message).
+                    pass
             shadowed = self.env.get(s.var)
             for i in range(lo, hi + 1):
                 self.env[s.var] = i
@@ -350,15 +475,136 @@ class _Interp:
         base_node, idx_nodes = s.lvalue.base, s.lvalue.indices
         if not isinstance(base_node, Var):
             raise StanCompileError("chained-index assignment unsupported")
-        container = self.env.get(base_node.name)
-        idxs = [
-            _require_int(self.ev(i), "assignment index") for i in idx_nodes
-        ]
-        if not isinstance(container, _LocalArray):
-            raise StanCompileError(
-                f"indexed assignment into non-local {base_node.name!r}"
+        idxs = [self.ev(i) for i in idx_nodes]
+        self._indexed_assign(base_node.name, idxs, val)
+
+    def _indexed_assign(self, name, idxs, val):
+        container = self.env.get(name)
+        if isinstance(container, _LocalArray):
+            container.set(
+                [_require_int(i, "assignment index") for i in idxs],
+                _as_value(val),
             )
-        container.set(idxs, val)
+            return
+        if hasattr(container, "at"):
+            # jnp array (e.g. a scan-lowered loop result): functional update.
+            ix = tuple(
+                _require_int(i, "assignment index") - 1 for i in idxs
+            )
+            self.env[name] = container.at[ix].set(_as_value(val))
+            return
+        raise StanCompileError(
+            f"indexed assignment into non-local {name!r}"
+        )
+
+    # ------------------------------------------------- scan loop lowering
+
+    def _run_for_scanned(self, s: For, lo, hi):
+        """Lower a long data-bounded `for` loop to lax.scan: the names its
+        body assigns become the carry (containers materialized as arrays,
+        NaN-filled where uninitialized, matching Stan's undefined-real
+        value), loop-variable indexing becomes dynamic gather/scatter, and
+        target increments accumulate through the carry. Commits env/target
+        mutations only after the scan traces successfully, so a failed
+        attempt can fall back to unrolling with no side effects."""
+        assigned, declared = set(), set()
+        _walk_writes(s.body, assigned, declared)
+        carried = sorted(assigned - declared)
+        for n in carried:
+            if n not in self.env:
+                raise _ScanLoweringError(f"assignment to undefined {n!r}")
+
+        def materialize(v):
+            if v is None:
+                return jnp.asarray(float("nan"), dtype=float)
+            if isinstance(v, _LocalArray):
+                return v.as_array_filled()
+            return jnp.asarray(v)
+
+        init_vals = tuple(materialize(self.env[n]) for n in carried)
+        outer_env = self.env
+        rng_key = self.rng_key
+        rng_base = self._rng_count
+
+        def body(carry, i):
+            vals, tgt = carry
+            env = dict(outer_env)
+            env.update(zip(carried, vals))
+            env[s.var] = i
+            body_key = None
+            if rng_key is not None:
+                # Distinct stream per iteration AND per loop call site.
+                body_key = jax.random.fold_in(
+                    jax.random.fold_in(rng_key, 1_000_003 + rng_base), i
+                )
+            interp = _ScanInterp(env, rng_key=body_key)
+            interp.run(s.body)
+            new_vals = tuple(
+                jnp.asarray(_as_value(interp.env[n])) for n in carried
+            )
+            return (new_vals, tgt + interp.target), None
+
+        xs = jnp.arange(lo, hi + 1, dtype=jnp.int32)
+        (final_vals, tgt), _ = jax.lax.scan(
+            body, (init_vals, jnp.asarray(0.0, dtype=float)), xs
+        )
+        for n, v in zip(carried, final_vals):
+            self.env[n] = v
+        self.target = self.target + tgt
+        if rng_key is not None:
+            self._rng_count = rng_base + 1
+
+
+class _ScanInterp(_Interp):
+    """Interpreter for a lax.scan-lowered loop body: the loop variable is a
+    traced int32, so indices may be tracers — reads become jnp.take along
+    leading axes and writes become .at[...].set on the carried arrays.
+    Nested loops inside the body are always unrolled (scan_threshold=None);
+    traced inner bounds or traced `if` conditions raise, which aborts the
+    enclosing lowering attempt and falls back to full unrolling."""
+
+    def __init__(self, env, rng_key=None):
+        super().__init__(env, scan_threshold=None, rng_key=rng_key)
+
+    def _index_read(self, base, idxs):
+        if all(_is_static_int(i) for i in idxs):
+            return super()._index_read(base, idxs)
+        arr = (
+            base.as_array_filled()
+            if isinstance(base, _LocalArray)
+            else jnp.asarray(_as_value(base))
+        )
+        out = arr
+        for i in idxs:
+            if _is_static_int(i):
+                out = out[int(i) - 1]
+            else:
+                out = jnp.take(out, jnp.asarray(i) - 1, axis=0)
+        return out
+
+    def _indexed_assign(self, name, idxs, val):
+        if all(_is_static_int(i) for i in idxs):
+            container = self.env.get(name)
+            if not isinstance(container, _LocalArray):
+                ix = tuple(int(i) - 1 for i in idxs)
+                self.env[name] = jnp.asarray(container).at[ix].set(
+                    _as_value(val)
+                )
+                return
+            return super()._indexed_assign(name, idxs, val)
+        container = self.env.get(name)
+        if isinstance(container, _LocalArray):
+            # Carried containers were materialized to arrays when the scan
+            # env was built; a traced write into a non-carried container is
+            # a lowering-analysis failure — abort to the unrolled path.
+            raise _ScanLoweringError(
+                f"traced write into non-carried container {name!r}"
+            )
+        ix = tuple(
+            int(i) - 1 if _is_static_int(i) else jnp.asarray(i) - 1
+            for i in idxs
+        )
+        self.env[name] = jnp.asarray(container).at[ix].set(_as_value(val))
 
 
 # ------------------------------------------------------------ param packing
@@ -459,14 +705,16 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
     return env, has_phi
 
 
-def compile_stan_program(source: str, data: dict, name: str = "stan") -> Model:
-    """Compile Stan source + data dict into a framework `Model`."""
+def compile_stan_program(source: str, data: dict, name: str = "stan",
+                         scan_threshold: int | None = 64) -> Model:
+    """Compile Stan source + data dict into a framework `Model`.
+
+    `scan_threshold`: loops of at least this many iterations lower to
+    lax.scan (module docstring); None unrolls everything.
+    """
     prog = parse(source)
     if "parameters" not in prog.blocks:
         raise StanCompileError("program has no parameters block")
-    if "generated quantities" in prog.blocks:
-        # Documented omission: gq may consume RNG; not part of logp.
-        pass
 
     data_env, has_phi = _build_data_env(prog, data)
 
@@ -493,6 +741,7 @@ def compile_stan_program(source: str, data: dict, name: str = "stan") -> Model:
 
     tp_block = prog.blocks.get("transformed parameters", [])
     model_block = prog.blocks.get("model", [])
+    gq_block = prog.blocks.get("generated quantities", [])
 
     def _unpack(theta):
         """theta (dim,) → (param env, total log-Jacobian)."""
@@ -512,7 +761,7 @@ def compile_stan_program(source: str, data: dict, name: str = "stan") -> Model:
         env.update(penv)
         if has_phi:
             env["phi"] = phi
-        interp = _Interp(env)
+        interp = _Interp(env, scan_threshold=scan_threshold)
         interp.run(tp_block)
         interp.run(model_block)
         return interp.target, jac
@@ -534,25 +783,44 @@ def compile_stan_program(source: str, data: dict, name: str = "stan") -> Model:
             del theta
             return jnp.asarray(0.0, dtype=float)
 
-    def constrain(theta):
+    def _block_values(env, block, rng_key=None):
+        """Run a block and return the flattened values of its declarations
+        in order (the reference's param_constrain output layout for TP/GQ,
+        bridgestan.py:106-120)."""
+        interp = _Interp(env, scan_threshold=scan_threshold, rng_key=rng_key)
+        interp.run(block)
+        parts = []
+        for stmt in block:
+            if isinstance(stmt, Decl):
+                v = interp.env[stmt.name]
+                if v is None:
+                    v = float("nan")  # declared, never assigned: Stan's NaN
+                elif isinstance(v, _LocalArray):
+                    v = v.as_array_filled()
+                v = jnp.asarray(v, dtype=float)
+                parts.append(v.reshape(-1) if v.ndim else v[None])
+        return parts, interp.env
+
+    def constrain(theta, include_gq=True):
         penv, _ = _unpack(theta)
         parts = []
         for s in specs:
             v = jnp.asarray(penv[s.name], dtype=float)
             parts.append(v.reshape(-1) if v.ndim else v[None])
+        env = dict(data_env)
+        env.update(penv)
+        if has_phi:
+            env["phi"] = jnp.asarray(1.0, dtype=float)
         if tp_block:
-            env = dict(data_env)
-            env.update(penv)
-            if has_phi:
-                env["phi"] = jnp.asarray(1.0, dtype=float)
-            interp = _Interp(env)
-            interp.run(tp_block)
-            for stmt in tp_block:
-                if isinstance(stmt, Decl):
-                    v = jnp.asarray(
-                        _as_value(interp.env[stmt.name]), dtype=float
-                    )
-                    parts.append(v.reshape(-1) if v.ndim else v[None])
+            tp_parts, env = _block_values(env, tp_block)
+            parts.extend(tp_parts)
+        if gq_block and include_gq:
+            # Fixed-seed RNG: the reference constrains with new_rng(seed=0)
+            # (bridgestan.py:106), making GQ-bearing estimates deterministic.
+            gq_parts, _ = _block_values(
+                env, gq_block, rng_key=jax.random.key(0)
+            )
+            parts.extend(gq_parts)
         return jnp.concatenate(parts)
 
     # Eager validation: trace the target once so unsupported distributions,
@@ -572,12 +840,16 @@ def compile_stan_program(source: str, data: dict, name: str = "stan") -> Model:
     param_names = []
     for s in specs:
         param_names.extend(s.names())
-    tp_probe = jax.eval_shape(constrain, jax.ShapeDtypeStruct((dim,),
-                                                              jnp.float32))
-    constrained_dim = int(tp_probe.shape[0])
-    # names for transformed parameters beyond the base params
-    for i in range(constrained_dim - len(param_names)):
-        param_names.append(f"tp.{i + 1}")
+    probe_in = jax.ShapeDtypeStruct((dim,), jnp.float32)
+    tp_probe = jax.eval_shape(
+        lambda t: constrain(t, include_gq=False), probe_in
+    )
+    full_probe = jax.eval_shape(constrain, probe_in)
+    n_tp = int(tp_probe.shape[0]) - len(param_names)
+    n_gq = int(full_probe.shape[0]) - int(tp_probe.shape[0])
+    constrained_dim = int(full_probe.shape[0])
+    param_names.extend(f"tp.{i + 1}" for i in range(n_tp))
+    param_names.extend(f"gq.{i + 1}" for i in range(n_gq))
 
     return Model(
         name=name,
@@ -591,7 +863,8 @@ def compile_stan_program(source: str, data: dict, name: str = "stan") -> Model:
 
 
 def compile_stan_file(stan_path: str, data: Any = None,
-                      name: str | None = None) -> Model:
+                      name: str | None = None,
+                      scan_threshold: int | None = 64) -> Model:
     """Compile a `.stan` file (the reference's user-facing model asset,
     reference smcnuts/model/bridgestan.py:13-25) into a framework `Model`.
 
@@ -606,4 +879,6 @@ def compile_stan_file(stan_path: str, data: Any = None,
         data = load_stan_data(os.fspath(data))
     if name is None:
         name = os.path.splitext(os.path.basename(stan_path))[0]
-    return compile_stan_program(source, data, name=name)
+    return compile_stan_program(
+        source, data, name=name, scan_threshold=scan_threshold
+    )

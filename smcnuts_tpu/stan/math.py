@@ -245,3 +245,68 @@ FUNCTIONS = {
     "to_vector": lambda x: jnp.ravel(_as_arr(x)),
     "to_array_1d": lambda x: jnp.ravel(_as_arr(x)),
 }
+
+
+# ---- RNG functions (generated quantities only) ----
+#
+# The reference evaluates generated quantities inside `constrain` with a
+# FIXED-SEED RNG (bridgestan.py:106-120, new_rng(seed=0)) so constrained
+# estimates are deterministic; the compiler mirrors that by threading a fixed
+# jax.random key through these, one fold_in per call site per evaluation.
+
+def _bshape(*args):
+    return jnp.broadcast_shapes(*(jnp.shape(a) for a in args))
+
+
+def _normal_rng(key, mu, sigma):
+    return mu + sigma * jax.random.normal(key, _bshape(mu, sigma))
+
+
+RNG_FUNCTIONS = {
+    "normal": _normal_rng,
+    "std_normal": lambda key: jax.random.normal(key),
+    "uniform": lambda key, a, b: a + (b - a) * jax.random.uniform(
+        key, _bshape(a, b)
+    ),
+    "exponential": lambda key, rate: jax.random.exponential(
+        key, _bshape(rate)
+    ) / rate,
+    "gamma": lambda key, alpha, beta: jax.random.gamma(
+        key, jnp.broadcast_to(jnp.asarray(alpha, float), _bshape(alpha, beta))
+    ) / beta,
+    "inv_gamma": lambda key, alpha, beta: beta / jax.random.gamma(
+        key, jnp.broadcast_to(jnp.asarray(alpha, float), _bshape(alpha, beta))
+    ),
+    "beta": lambda key, a, b: jax.random.beta(key, a, b, _bshape(a, b)),
+    "lognormal": lambda key, mu, sigma: jnp.exp(_normal_rng(key, mu, sigma)),
+    "cauchy": lambda key, mu, gamma: mu + gamma * jax.random.cauchy(
+        key, _bshape(mu, gamma)
+    ),
+    "student_t": lambda key, nu, mu, sigma: mu + sigma * jax.random.t(
+        key, nu, _bshape(nu, mu, sigma)
+    ),
+    "chi_square": lambda key, nu: 2.0 * jax.random.gamma(
+        key, jnp.asarray(nu, float) / 2.0
+    ),
+    "double_exponential": lambda key, mu, sigma: mu - sigma * jnp.sign(
+        jax.random.uniform(key, _bshape(mu, sigma)) - 0.5
+    ) * jnp.log1p(-jnp.abs(
+        2.0 * jax.random.uniform(jax.random.fold_in(key, 1),
+                                 _bshape(mu, sigma)) - 1.0
+    )),
+    "poisson": lambda key, lam: jax.random.poisson(
+        key, lam, _bshape(lam)
+    ).astype(float),
+    "poisson_log": lambda key, log_lam: jax.random.poisson(
+        key, jnp.exp(log_lam), _bshape(log_lam)
+    ).astype(float),
+    "bernoulli": lambda key, p: jax.random.bernoulli(
+        key, p, _bshape(p)
+    ).astype(float),
+    "bernoulli_logit": lambda key, alpha: jax.random.bernoulli(
+        key, jax.nn.sigmoid(alpha), _bshape(alpha)
+    ).astype(float),
+    "binomial": lambda key, n, p: jax.random.binomial(
+        key, n, p, _bshape(n, p)
+    ).astype(float),
+}

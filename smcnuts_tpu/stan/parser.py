@@ -242,6 +242,8 @@ class _Parser:
             name = self.advance().text
             if name == "transformed" and self.cur.text in ("data", "parameters"):
                 name = f"transformed {self.advance().text}"
+            if name == "generated" and self.cur.text == "quantities":
+                name = f"generated {self.advance().text}"
             if name not in _BLOCK_NAMES:
                 self.fail(f"unknown block {name!r}")
             if name == "functions":

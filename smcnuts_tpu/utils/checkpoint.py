@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Bump when the serialized layout changes (carry pytree structure, key
+# encoding, diagnostic naming). Loading a checkpoint with a different
+# version fails loudly instead of silently mis-unflattening the carry.
+CHECKPOINT_VERSION = 1
+
 
 def save_checkpoint(path: str, carry, k_done: int, diagnostics: dict):
     """Serialize an SMCCarry + completed-iteration count + diagnostics."""
@@ -26,6 +31,7 @@ def save_checkpoint(path: str, carry, k_done: int, diagnostics: dict):
         return np.asarray(leaf)
 
     payload = {f"carry_{i}": leaf_np(leaf) for i, leaf in enumerate(flat)}
+    payload["version"] = np.int64(CHECKPOINT_VERSION)
     payload["k_done"] = np.int64(k_done)
     for name, arr in diagnostics.items():
         payload[f"diag_{name}"] = np.asarray(arr)
@@ -42,6 +48,13 @@ def save_checkpoint(path: str, carry, k_done: int, diagnostics: dict):
 def load_checkpoint(path: str, carry_template):
     """Restore (carry, k_done, diagnostics) using a template for structure."""
     data = np.load(path, allow_pickle=False)
+    version = int(data["version"]) if "version" in data.files else 0
+    if version != CHECKPOINT_VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has version {version}, this build reads "
+            f"version {CHECKPOINT_VERSION}; re-run from scratch (delete the "
+            "checkpoint) or load it with a matching build"
+        )
     flat_t, treedef = jax.tree.flatten(carry_template)
     flat = []
     for i, leaf in enumerate(flat_t):

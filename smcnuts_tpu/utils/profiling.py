@@ -15,6 +15,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from .timing import fresh_key, materialize
+
 
 @contextlib.contextmanager
 def trace(log_dir: str):
@@ -27,11 +29,15 @@ def trace(log_dir: str):
 
 
 def _time_fn(fn, *args, repeats=3):
-    jax.block_until_ready(fn(*args))  # compile
+    """Best-of-repeats wall time to HOST MATERIALIZATION of fn(*args).
+    block_until_ready does not synchronize on relay transports (see
+    utils/timing.py); note repeated identical args can still be served from
+    the relay memo-cache — prefer _time_scanned for kernel timing."""
+    materialize(fn(*args))  # compile
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        materialize(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -40,8 +46,10 @@ def _time_scanned(body, carry0, iters, repeats=3):
     """Per-iteration time of `body`, amortized over an `iters`-step lax.scan
     inside ONE dispatch — robust against per-dispatch transport latency
     (which on relay-attached chips can exceed the kernel time itself). The
-    scan consumes a fresh fold_in key per step so no work can be elided or
-    transport-memoized."""
+    scan consumes a fresh fold_in key per step so no work can be elided;
+    the top-level key comes from os.urandom per repetition so no dispatch
+    can be transport-memoized (not even across processes), and each timed
+    dispatch is synchronized by host materialization of the carry."""
 
     def run(key):
         def step(c, k):
@@ -51,11 +59,12 @@ def _time_scanned(body, carry0, iters, repeats=3):
         return c
 
     f = jax.jit(run)
-    jax.block_until_ready(f(jax.random.key(0)))
+    materialize(f(fresh_key()))
     best = float("inf")
-    for i in range(repeats):
+    for _ in range(repeats):
+        key = fresh_key()
         t0 = time.perf_counter()
-        jax.block_until_ready(f(jax.random.key(i + 1)))
+        materialize(f(key))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

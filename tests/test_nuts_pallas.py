@@ -186,8 +186,14 @@ def test_depth0_leapfrog_with_mass_matrix():
 
 def test_vmap_batches_into_multirun_kernel(setup):
     """jax.vmap over (x, r, seed) must hit the custom_vmap rule: one
-    (B, nblk)-grid launch whose per-run results match per-run single calls
-    (same per-run seed => same TPU PRNG stream in interpret mode)."""
+    flat-packed launch whose per-run VALUES match per-run single calls.
+
+    What interpret mode can validate here: the deterministic tree mechanics
+    (packing/unpacking, per-lane parameters, model evaluation) — interpret
+    mode's prng_random_bits is a stub that ignores prng_seed, so this says
+    NOTHING about seed semantics. Seed sensitivity (every run's seed must
+    influence its randomness even when runs share a block) is covered by
+    test_batched_seed_sensitivity_on_tpu below on the real chip."""
     tm, model = setup
     B, n = 3, 16
     rng = np.random.default_rng(21)
@@ -344,6 +350,48 @@ def test_eightschools_posterior_on_tpu():
     mu, tau = float(r.mean_estimate[-1][0]), float(r.mean_estimate[-1][1])
     assert 3.0 < mu < 6.0
     assert 2.0 < tau < 6.0
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="interpret-mode PRNG ignores prng_seed (stub), so seed semantics "
+    "are only observable on device",
+)
+def test_batched_seed_sensitivity_on_tpu(setup):
+    """Flat-packed batched runs: changing ONE run's seed must change that
+    run's randomness, including for runs that never start a 1024-lane block
+    (the regression fixed per ADVICE r1: blocks used to be seeded from the
+    first covered run only, silently ignoring the other runs' seeds)."""
+    tm, _ = setup
+    B, n = 3, 512  # three 512-particle runs -> runs 1 and 2 share blocks
+    rng = np.random.default_rng(17)
+    xs = jnp.asarray(
+        np.broadcast_to(
+            rng.normal(0, 0.02, (1, n, 4)) + POST_MODE, (B, n, 4)
+        ),
+        jnp.float32,
+    )
+    rs = jnp.asarray(
+        np.broadcast_to(rng.normal(size=(1, n, 4)), (B, n, 4)), jnp.float32
+    )
+
+    f = jax.jit(
+        jax.vmap(
+            lambda x, r, s: nuts_batch_pallas(
+                tm, x, r, s, 0.01, 1.0, max_depth=4
+            )[0]
+        )
+    )
+    base = np.asarray(f(xs, rs, jnp.asarray([5, 6, 7], jnp.int32)))
+    # Change ONLY run 1's seed (a run whose particles start mid-block).
+    bump = np.asarray(f(xs, rs, jnp.asarray([5, 999, 7], jnp.int32)))
+    assert not np.allclose(base[1], bump[1]), (
+        "run 1's seed was ignored by the flat-packed kernel"
+    )
+    # Identical particle states with DISTINCT seeds must not produce
+    # identical randomness across runs.
+    assert not np.allclose(base[0], base[1])
+    assert not np.allclose(base[1], base[2])
 
 
 @pytest.mark.skipif(

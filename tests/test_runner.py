@@ -60,6 +60,54 @@ def test_checkpoint_resume(tmp_path):
     )
 
 
+def test_checkpoint_version_mismatch_fails_loudly(tmp_path):
+    """A checkpoint from a different serialization version must refuse to
+    load instead of silently mis-unflattening the carry."""
+    import numpy as _np
+    import pytest
+
+    model = make_gaussian(MEAN, VAR)
+    cfg = _cfg(n_iterations=3)
+    ckpt = os.path.join(tmp_path, "smc.npz")
+    ChunkedRunner(model, cfg, checkpoint_path=ckpt, chunk_size=3).run(
+        jax.random.key(0)
+    )
+    data = dict(_np.load(ckpt, allow_pickle=False))
+    data["version"] = _np.int64(999)
+    _np.savez(ckpt, **data)
+    with pytest.raises(ValueError, match="version"):
+        ChunkedRunner(model, _cfg(), checkpoint_path=ckpt, chunk_size=3).run(
+            jax.random.key(0)
+        )
+
+
+def test_checkpoint_resume_asymptotic(tmp_path):
+    """Resume across a chunk boundary with the asymptotic strategy: the
+    loglik_hist diagnostic (consumed by the tempered-recycling post-pass)
+    must be carried through the checkpoint unharmed."""
+    model = make_gaussian(MEAN, VAR, prior_var=np.ones(2))
+    cfg = _cfg(lkernel="asymptoticLKernel", tempering=True)
+    key = jax.random.key(4)
+    ckpt = os.path.join(tmp_path, "smc_asym.npz")
+
+    full = ChunkedRunner(model, cfg, chunk_size=3).run(key)
+    ChunkedRunner(
+        model, _cfg(n_iterations=3, lkernel="asymptoticLKernel",
+                    tempering=True),
+        checkpoint_path=ckpt, chunk_size=3,
+    ).run(key)
+    resumed = ChunkedRunner(
+        model, cfg, checkpoint_path=ckpt, chunk_size=3
+    ).run(key)
+    np.testing.assert_allclose(
+        np.asarray(resumed.phi), np.asarray(full.phi), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.mean_estimate), np.asarray(full.mean_estimate),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_chunked_asymptotic_with_history(tmp_path):
     model = make_gaussian(MEAN, VAR, prior_var=np.ones(2))
     cfg = _cfg(lkernel="asymptoticLKernel", tempering=True)

@@ -161,3 +161,21 @@ def test_class_api_reference_shape():
     assert smc.phi.shape == (6,)
     assert smc.acceptance_rate.shape == (6,)
     assert smc.x_saved.shape == (6, 64, 3)
+
+
+def test_show_progress_matches_silent_run(capsys):
+    """show_progress (reference smc_sampler.py:109 tqdm) runs via jitted
+    chunks; the results must match the monolithic program for the same
+    seed, and progress output must actually be emitted."""
+    model = make_gaussian(MEAN, VAR)
+    kw = dict(K=7, N=64, target=model, step_size=0.5, seed=3)
+    silent = SMCSampler(**kw)
+    silent.sample()
+    noisy = SMCSampler(**kw)
+    noisy.sample(show_progress=True)
+    np.testing.assert_allclose(
+        noisy.mean_estimate, silent.mean_estimate, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(noisy.ess, silent.ess, rtol=1e-5, atol=1e-6)
+    err = capsys.readouterr().err
+    assert ("SMC" in err) or ("it" in err), err  # tqdm bar or fallback print

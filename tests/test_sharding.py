@@ -64,6 +64,33 @@ def test_sharded_run_matches_unsharded(mesh):
     )
 
 
+def test_sharded_pallas_backend_run(mesh):
+    """End-to-end run_smc with the PALLAS NUTS backend through the sampler's
+    shard_map wiring (sampler.py pallas+mesh path) on the 8-device CPU mesh,
+    kernel under the TPU-semantics interpreter. This is the production
+    multi-chip hot path; previously it was only kernel-level tested.
+
+    Interpret-mode PRNG is a stub (zeros), so assertions are structural:
+    the program compiles, executes, moves the particles, keeps everything
+    finite, and leaves the final state genuinely distributed."""
+    from smcnuts_tpu.models import make_arma
+
+    model = make_arma()
+    cfg = SMCConfig(
+        n_particles=64, n_iterations=2, step_size=0.01,
+        nuts_backend="pallas", max_tree_depth=3, save_history=False,
+    )
+    res = jax.jit(lambda k: run_smc(model, cfg, k, mesh=mesh))(
+        jax.random.key(7)
+    )
+    x = np.asarray(res.x_final)
+    assert np.all(np.isfinite(x))
+    assert np.all(np.isfinite(np.asarray(res.mean_estimate)))
+    assert len(res.x_final.addressable_shards) == jax.device_count()
+    # The NUTS move must have displaced the cloud from its prior draw.
+    assert float(np.asarray(res.acceptance_rate)[0]) > 0.0
+
+
 def test_sharded_final_state_is_distributed(mesh):
     model = make_gaussian(MEAN, VAR)
     cfg = SMCConfig(n_particles=128, n_iterations=3, step_size=0.5)
