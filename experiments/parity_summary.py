@@ -1,0 +1,103 @@
+"""Condense a full parity experiment into one committable JSON verdict.
+
+The reference's validation workflow is 25 Monte-Carlo runs per strategy with
+MC-averaged estimator trajectories and per-iteration moment MSE against the
+Stan long-chain ground truth (reference experiments/plot_experiments.py:26-79,
+run_experiments.py:38-47). This tool reads the per-run CSVs an experiment
+directory holds (experiments/run_experiments.py output), reproduces that
+evaluation, and writes <model>_summary.json with, per strategy:
+
+- final-iteration MC mean and MC sd of each parameter's mean/variance
+  estimate across the runs;
+- final-iteration MSE of mean and variance estimates (the reference plots'
+  right edge);
+- the parity verdict: |MC-mean - truth| <= 3 * MC-sd/sqrt(R) + tol per
+  parameter (truth inside the Monte-Carlo confidence band).
+
+Usage: python experiments/parity_summary.py --model arma --runs 25 \
+           --output parity/arma
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smcnuts_tpu.utils.io import load_run_csvs
+
+STRATEGIES = ("forward_lkernel", "gaussian_lkernel", "asymptotic_lkernel")
+
+
+def ground_truth(model_name):
+    if model_name == "arma":
+        from smcnuts_tpu.models.arma import ground_truth as gt
+    else:
+        from smcnuts_tpu.models.prmwcd import ground_truth as gt
+    return gt()
+
+
+def summarize(model, output_dir, runs):
+    gt_mean, gt_var = ground_truth(model)
+    out = {
+        "model": model,
+        "runs": runs,
+        "ground_truth_mean": [round(float(v), 6) for v in gt_mean],
+        "ground_truth_var": [round(float(v), 6) for v in gt_var],
+        "strategies": {},
+    }
+    all_pass = True
+    for s in STRATEGIES:
+        sdir = os.path.join(output_dir, s)
+        if not os.path.isdir(sdir):
+            continue
+        mean_runs = load_run_csvs(sdir, runs, "mean_estimate")  # (R, K+1, D)
+        var_runs = load_run_csvs(sdir, runs, "var_estimate")
+        final_mean = mean_runs[:, -1, :]  # (R, D)
+        final_var = var_runs[:, -1, :]
+        mc_mean = final_mean.mean(axis=0)
+        mc_sd = final_mean.std(axis=0, ddof=1)
+        mc_vmean = final_var.mean(axis=0)
+        mc_vsd = final_var.std(axis=0, ddof=1)
+        r = final_mean.shape[0]
+        # Truth inside the MC confidence band of the estimator's MC mean.
+        band = 3.0 * mc_sd / np.sqrt(r) + 1e-4
+        ok_mean = np.abs(mc_mean - gt_mean) <= band
+        vband = 3.0 * mc_vsd / np.sqrt(r) + 0.05 * np.abs(gt_var) + 1e-5
+        ok_var = np.abs(mc_vmean - gt_var) <= vband
+        entry = {
+            "final_mse_mean": float(((final_mean - gt_mean) ** 2).mean()),
+            "final_mse_var": float(((final_var - gt_var) ** 2).mean()),
+            "mc_mean": [round(float(v), 6) for v in mc_mean],
+            "mc_sd": [round(float(v), 6) for v in mc_sd],
+            "mc_var_mean": [round(float(v), 6) for v in mc_vmean],
+            "mc_var_sd": [round(float(v), 6) for v in mc_vsd],
+            "mean_within_band": [bool(b) for b in ok_mean],
+            "var_within_band": [bool(b) for b in ok_var],
+            "pass": bool(ok_mean.all() and ok_var.all()),
+        }
+        all_pass = all_pass and entry["pass"]
+        out["strategies"][s] = entry
+    out["pass"] = all_pass
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="arma")
+    p.add_argument("--runs", type=int, default=25)
+    p.add_argument("--output", required=True)
+    args = p.parse_args(argv)
+    out = summarize(args.model, args.output, args.runs)
+    path = os.path.join(args.output, f"{args.model}_summary.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -406,6 +406,6 @@ def test_frontend_arma_smc_on_tpu():
     )
     res = run_smc(m, cfg, jax.random.key(11))
     mean = np.asarray(res.mean_estimate[-1])
-    gt_mean, gt_var = ground_truth("arma")
+    gt_mean, gt_var = ground_truth()
     # 4-sd band on each coordinate, as in tests/test_parity.py.
     assert np.all(np.abs(mean - gt_mean) < 4 * np.sqrt(gt_var)), mean
