@@ -1,0 +1,81 @@
+"""Decompose the SMC iteration cost: NUTS kernel vs everything else.
+
+Measures the MARGINAL per-iteration device time of the FULL run_smc scan
+body (normalise + estimate + resample + NUTS + reweight + diagnostics) via
+K-vs-4K differencing (the per-dispatch relay floor cancels — same protocol
+as bench_kernel.py), for both NUTS backends. Comparing against
+bench_kernel.py's kernel-only marginal isolates the epilogue + packing
+cost per iteration (VERDICT r1 next-round #7 asks for this breakdown).
+
+Usage: python experiments/bench_epilogue.py --model arma -N 512 -K 100
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from smcnuts_tpu import SMCConfig, run_smc
+from smcnuts_tpu.models import get_model
+from smcnuts_tpu.utils.timing import fresh_key, materialize
+
+
+def marginal(model, n, k, backend, step_size, repeats=3):
+    def timed(k_iters):
+        cfg = SMCConfig(
+            n_particles=n, n_iterations=k_iters, step_size=step_size,
+            lkernel="forwardsLKernel", save_history=False,
+            nuts_backend=backend,
+        )
+        f = jax.jit(lambda key: run_smc(model, cfg, key))
+        materialize(f(fresh_key()))  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            key = fresh_key()
+            t0 = time.perf_counter()
+            materialize(f(key))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(k)
+    t4 = timed(4 * k)
+    return {
+        "backend": backend,
+        "t_K_s": round(t1, 4),
+        "t_4K_s": round(t4, 4),
+        "marginal_us_per_iter": round((t4 - t1) / (3 * k) * 1e6, 2),
+        "dispatch_floor_s": round(max(t1 - (t4 - t1) / 3.0, 0.0), 4),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="arma")
+    p.add_argument("-N", "--particles", type=int, default=512)
+    p.add_argument("-K", "--iterations", type=int, default=100)
+    p.add_argument("--step-size", type=float, default=0.01)
+    p.add_argument("--backends", nargs="+", default=["pallas", "xla"])
+    args = p.parse_args(argv)
+    model = get_model(args.model)
+    out = {"model": args.model, "N": args.particles, "K": args.iterations,
+           "rows": []}
+    for b in args.backends:
+        if b == "pallas" and (
+            model.tile_model is None or jax.default_backend() != "tpu"
+        ):
+            continue
+        out["rows"].append(
+            marginal(model, args.particles, args.iterations, b,
+                     args.step_size)
+        )
+        print(json.dumps(out["rows"][-1]), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,10 +103,28 @@ def main(argv=None):
             n_particles=args.particles, n_iterations=args.iterations,
             step_size=step_size, resampling=args.resampling,
             max_tree_depth=args.max_tree_depth,
-            nuts_backend=args.nuts_backend, **STRATEGIES[name],
+            nuts_backend=args.nuts_backend,
+            # Only the asymptotic post-pass consumes the particle history;
+            # for the other strategies XLA drops the (K+1, N, D) buffers.
+            save_history=STRATEGIES[name]["lkernel"] == "asymptoticLKernel",
+            **STRATEGIES[name],
         )
+
+        def slim(r):
+            # The evaluation layer needs only the five per-iteration series
+            # (save_run_csvs); returning the full result would ship the
+            # particle history to the host — ~26 MB per 25-run batch over
+            # the relay, 12x the device time of the run itself (measured).
+            return {
+                "mean_estimate": r.mean_estimate,
+                "variance_estimate": r.variance_estimate,
+                "ess": r.ess,
+                "phi": r.phi,
+                "acceptance_rate": r.acceptance_rate,
+            }
+
         fns[name] = jax.jit(
-            lambda k, m=model, c=cfg: run_smc(m, c, k, mesh=mesh)
+            lambda k, m=model, c=cfg: slim(run_smc(m, c, k, mesh=mesh))
         )
 
     timings = {name: [] for name in args.strategies}
@@ -167,8 +185,8 @@ def main(argv=None):
                 timings[name].append(dt)
                 save_run_csvs(result, name, i, output_dir)
                 print(f"run {i + 1}/{args.runs} {name}: {dt:.3f}s  "
-                      f"phi[0]={float(result.phi[0]):.3f}  "
-                      f"ess[-1]={float(result.ess[-1]):.1f}")
+                      f"phi[0]={float(result['phi'][0]):.3f}  "
+                      f"ess[-1]={float(result['ess'][-1]):.1f}")
 
         summary = {
             name: {

@@ -610,7 +610,26 @@ def prmwcd_tile_model(y, X, q) -> TileModel:
     line vector code Mosaic schedules across the VPU ports (measured 3.1x
     over the fori_loop + SMEM-scalar-load formulation on the arma kernel;
     relay-cache-proof protocol). The constant -sum(lgamma(y_i + 1)) term is
-    folded in at build time (Mosaic has no lgamma)."""
+    folded in at build time (Mosaic has no lgamma).
+
+    Roofline (measured via experiments/bench_kernel.py, K-vs-4K marginal so
+    the ~60 ms dispatch floor cancels): 1.36 us per 1024-lane leaf on
+    TPU v5e. The leaf body is ~27 vector ops per observation x 100 obs
+    (~2700 (8,128)-wide instrs), so that is ~2.1 vector instrs/cycle
+    sustained — the same issue rate the dependency-bound arma kernel
+    reaches, i.e. the VPU's sustained throughput, not a scheduling gap.
+    Why the VPU and not the MXU, although eta/grad are (obs x cov)
+    matmuls: the contraction is Clength+1 = 12 wide and the obs axis is
+    100, so MXU tiles pad 12->128 and 100->128 (9% utilization; ~128
+    cycles per matmul, two matmuls per leaf), exp(eta) stays on the VPU
+    (~100 instrs), and the per-leaf relayouts between the kernel's
+    param-major (8,128) lane tiles and a (particles x params) matrix are
+    cross-lane shuffles paid twice per leaf — bounding the ideal MXU win
+    below ~2x before relayout costs. A y-moment precompute (folding
+    sum_i y_i X_ij into constants) was evaluated and rejected: it saves
+    ~12% of instrs but computes the score as a difference of two large
+    f32 sums (catastrophic cancellation near the mode) instead of
+    accumulating small residuals."""
     import scipy.special
 
     y = np.asarray(y, np.float64)
@@ -689,11 +708,17 @@ def arma_tile_model(y) -> TileModel:
     code has no SMEM loads and no loop-carried control flow, so Mosaic
     schedules the four independent recurrence chains + four accumulators
     across the VPU ports — measured 3.1x faster than the fori_loop +
-    per-step SMEM scalar-load formulation (4.6 vs 14.2 ms for a warm
-    K=100 N=512 run on TPU v5e; ~0.7 us per 1024-lane leaf step, which is
-    the ~3.5 cycle/step dependency-latency bound of the serial recurrence —
-    an 8-way chunk-parallel reformulation was measured at only ~1.8x before
-    paying its recombination math, so this form is kept)."""
+    per-step SMEM scalar-load formulation in round 1 (an 8-way
+    chunk-parallel reformulation measured only ~1.8x before paying its
+    recombination math, so this form is kept).
+
+    Roofline (round-2 honest protocol — experiments/bench_kernel.py,
+    K-vs-4K marginal canceling the ~60 ms dispatch floor): 1.10 us per
+    1024-lane leaf on TPU v5e = ~1040 cycles for the T=200-step serial
+    recurrence, ~5.2 cycles per recurrence step across the 4 dependent
+    chains (~13 vector instrs/step -> ~2.2 instrs/cycle sustained, the
+    VPU issue rate; the earlier 0.7 us figure came from the round-1
+    timing path that did not synchronize on this transport)."""
     yf = [float(v) for v in np.asarray(y, np.float32)]
     T = len(yf)
 

@@ -17,12 +17,16 @@ import numpy as np
 def save_run_csvs(result, strategy: str, run_idx: int, output_dir: str):
     path = os.path.join(output_dir, strategy)
     os.makedirs(path, exist_ok=True)
+    get = (
+        result.__getitem__ if isinstance(result, dict)
+        else lambda k: getattr(result, k)
+    )
     series = {
-        "mean_estimate": np.asarray(result.mean_estimate),
-        "var_estimate": np.asarray(result.variance_estimate),
-        "ess": np.asarray(result.ess),
-        "phi": np.asarray(result.phi),
-        "acceptance_rate": np.asarray(result.acceptance_rate),
+        "mean_estimate": np.asarray(get("mean_estimate")),
+        "var_estimate": np.asarray(get("variance_estimate")),
+        "ess": np.asarray(get("ess")),
+        "phi": np.asarray(get("phi")),
+        "acceptance_rate": np.asarray(get("acceptance_rate")),
     }
     for name, arr in series.items():
         np.savetxt(

@@ -108,6 +108,40 @@ def test_checkpoint_resume_asymptotic(tmp_path):
     )
 
 
+def test_checkpoint_resume_under_mesh(tmp_path):
+    """Distributed failure recovery: a particle-sharded run (8-device CPU
+    mesh) that crashes between chunks resumes from the checkpoint to the
+    same result as an uninterrupted sharded run. This is the multi-host
+    elastic-restart story (SURVEY.md §5 'new design territory'): state lives
+    in one host-readable npz; on restart the mesh re-shards it."""
+    import jax as _jax
+
+    from smcnuts_tpu.parallel import particle_mesh, shard_key
+
+    mesh = particle_mesh()
+    model = make_gaussian(MEAN, VAR)
+    cfg = _cfg(n_particles=64)
+    key = shard_key(_jax.random.key(5), mesh)
+    ckpt = os.path.join(tmp_path, "smc_mesh.npz")
+
+    full = ChunkedRunner(model, cfg, chunk_size=3, mesh=mesh).run(key)
+    ChunkedRunner(
+        model, _cfg(n_particles=64, n_iterations=3),
+        checkpoint_path=ckpt, chunk_size=3, mesh=mesh,
+    ).run(key)
+    resumed = ChunkedRunner(
+        model, cfg, checkpoint_path=ckpt, chunk_size=3, mesh=mesh
+    ).run(key)
+    np.testing.assert_allclose(
+        np.asarray(resumed.mean_estimate), np.asarray(full.mean_estimate),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.x_final), np.asarray(full.x_final), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
 def test_chunked_asymptotic_with_history(tmp_path):
     model = make_gaussian(MEAN, VAR, prior_var=np.ones(2))
     cfg = _cfg(lkernel="asymptoticLKernel", tempering=True)
