@@ -26,7 +26,16 @@ def measure(model, n, k, backend, step_size=0.01, repeats=3):
         n_particles=n, n_iterations=k, step_size=step_size,
         lkernel="forwardsLKernel", save_history=False, nuts_backend=backend,
     )
-    f = jax.jit(lambda key: run_smc(model, cfg, key))
+
+    # Return only two small arrays: on the relay transport each fetched
+    # output array costs a ~25 ms round trip, so materializing the full
+    # SMCResult (~15 arrays) would bury small-N timings under ~0.4 s of
+    # per-array fetch latency (measured via bench_epilogue.py).
+    def slim(key):
+        r = run_smc(model, cfg, key)
+        return r.mean_estimate[-1], r.ess[-1]
+
+    f = jax.jit(slim)
     # Fresh urandom keys per repetition + host-materialization sync: the
     # relay transport memoizes repeated args and ignores block_until_ready
     # (utils/timing.py).
@@ -43,6 +52,7 @@ def main(argv=None):
         default=[512, 2048, 8192, 32768, 131072],
     )
     p.add_argument("--backends", nargs="+", default=["pallas", "xla"])
+    p.add_argument("--xla-max-n", type=int, default=131072)
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -54,7 +64,21 @@ def main(argv=None):
         ):
             continue
         for n in args.sizes:
-            rate, best = measure(model, n, args.iterations, backend)
+            if backend == "xla" and n > args.xla_max_n:
+                # The vmap-of-while XLA path synchronizes every particle to
+                # the globally deepest tree (~25 s at N=131072) and has
+                # crashed the TPU worker at N=1M; keep the sweep useful.
+                print(f"xla     N={n:7d}: skipped (> --xla-max-n)")
+                continue
+            try:
+                rate, best = measure(model, n, args.iterations, backend)
+            except Exception as e:  # one bad point must not kill the sweep
+                print(f"{backend:7s} N={n:7d}: FAILED ({e})", flush=True)
+                rows.append(
+                    {"backend": backend, "N": n, "K": args.iterations,
+                     "error": str(e)[:200]}
+                )
+                continue
             rows.append(
                 {"backend": backend, "N": n, "K": args.iterations,
                  "particle_iters_per_s": round(rate, 1),
