@@ -589,6 +589,44 @@ def elementwise_tile_model(dim, extra, logp_tiles_fn,
     return TileModel(dim=dim, extra=tuple(extra), tile_fn=tile_fn)
 
 
+def tile_model_from_logp(logp_fn, dim, extra=()) -> TileModel:
+    """Generic in-kernel adapter: run ANY per-particle scalar
+    `logp_fn(theta: (D,), phi) -> scalar` on the kernel's (8, 128) lane
+    tiles by double-vmapping it across sublanes and lanes, with the gradient
+    from `jax.vjp` traced INSIDE the Pallas kernel.
+
+    This is what turns a Stan-frontend-compiled model into a whole-tree
+    Pallas kernel with zero hand-written tile code: vmap of (mostly)
+    elementwise scalar code is elementwise tile code, per-particle
+    reductions over data axes batch into data-axis reductions that keep the
+    lane axes, and `lax.scan`s in the model body become tile-carry loops.
+    Compared to `elementwise_tile_model` this drops the requirement that the
+    density be written directly in tile ops, at the cost of whatever
+    intermediates the model (and its VJP residuals) materializes per lane —
+    a T-step recurrence holds O(T) (8, 128) values in VMEM.
+
+    Caveats: the model must avoid primitives Mosaic cannot lower (e.g.
+    lgamma on traced values — fold data-dependent lgamma terms into
+    constants at build time, as prmwcd_tile_model does); `phi` may arrive
+    as a per-lane tile and is vmapped alongside theta.
+    """
+
+    def tile_fn(extra_refs, x_tiles, phi):
+        del extra_refs  # data lives in logp_fn's closure as constants
+        theta = jnp.stack(list(x_tiles))  # (D, 8, 128)
+        phi_t = jnp.broadcast_to(
+            jnp.asarray(phi, theta.dtype), theta.shape[1:]
+        )
+        # lanes: (D, 128), (128,) -> (128,); tiles: adds the sublane axis.
+        lanes = jax.vmap(logp_fn, in_axes=(-1, -1), out_axes=-1)
+        tiles = jax.vmap(lanes, in_axes=(1, 0), out_axes=0)
+        logp, vjp_fn = jax.vjp(lambda th: tiles(th, phi_t), theta)
+        grads = vjp_fn(jnp.ones_like(logp))[0]
+        return logp, [grads[d] for d in range(dim)]
+
+    return TileModel(dim=dim, extra=tuple(extra), tile_fn=tile_fn)
+
+
 # ---------------------------------------------------------------------------
 # ARMA(1,1) tile model
 # ---------------------------------------------------------------------------

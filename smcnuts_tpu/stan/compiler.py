@@ -706,11 +706,19 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
 
 
 def compile_stan_program(source: str, data: dict, name: str = "stan",
-                         scan_threshold: int | None = 64) -> Model:
+                         scan_threshold: int | None = 64,
+                         tile: bool = False) -> Model:
     """Compile Stan source + data dict into a framework `Model`.
 
     `scan_threshold`: loops of at least this many iterations lower to
     lax.scan (module docstring); None unrolls everything.
+
+    `tile=True` additionally builds an in-kernel tile model
+    (ops/nuts_pallas.tile_model_from_logp) so the compiled program runs on
+    the whole-tree Pallas NUTS backend — the tempered target is evaluated
+    ONCE per leaf (target(theta, phi) + jacobian, exact under the linear-phi
+    convention) instead of the logprior/loglik split. Best-effort: Mosaic
+    must be able to lower everything the model body traces to.
     """
     prog = parse(source)
     if "parameters" not in prog.blocks:
@@ -755,13 +763,13 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             off += s.count
         return env, jac
 
-    def _eval_target(theta, phi):
+    def _eval_target(theta, phi, threshold=scan_threshold):
         env = dict(data_env)
         penv, jac = _unpack(theta)
         env.update(penv)
         if has_phi:
             env["phi"] = phi
-        interp = _Interp(env, scan_threshold=scan_threshold)
+        interp = _Interp(env, scan_threshold=threshold)
         interp.run(tp_block)
         interp.run(model_block)
         return interp.target, jac
@@ -851,6 +859,25 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
     param_names.extend(f"tp.{i + 1}" for i in range(n_tp))
     param_names.extend(f"gq.{i + 1}" for i in range(n_gq))
 
+    tile_model = None
+    if tile:
+        from ..ops.nuts_pallas import tile_model_from_logp
+
+        def logp_direct(theta, phi):
+            # One target evaluation per leaf: logprior + phi*loglik ==
+            # target(theta, phi) + jacobian under the linear-phi convention
+            # (module docstring) — the split form would evaluate the target
+            # twice per gradient inside the kernel. Loops are FULLY UNROLLED
+            # here regardless of scan_threshold: inside a Pallas kernel,
+            # scalar data reads inline as literals (the hand tile models'
+            # bake-constants trick), whereas the scan lowering materializes
+            # concrete data/carry arrays that pallas_call rejects as
+            # captured constants.
+            t, jac = _eval_target(theta, phi, threshold=None)
+            return t + jac
+
+        tile_model = tile_model_from_logp(logp_direct, dim)
+
     return Model(
         name=name,
         dim=dim,
@@ -859,12 +886,14 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
         logprior=logprior,
         loglik=loglik,
         constrain=constrain,
+        tile_model=tile_model,
     )
 
 
 def compile_stan_file(stan_path: str, data: Any = None,
                       name: str | None = None,
-                      scan_threshold: int | None = 64) -> Model:
+                      scan_threshold: int | None = 64,
+                      tile: bool = False) -> Model:
     """Compile a `.stan` file (the reference's user-facing model asset,
     reference smcnuts/model/bridgestan.py:13-25) into a framework `Model`.
 
@@ -880,5 +909,5 @@ def compile_stan_file(stan_path: str, data: Any = None,
     if name is None:
         name = os.path.splitext(os.path.basename(stan_path))[0]
     return compile_stan_program(
-        source, data, name=name, scan_threshold=scan_threshold
+        source, data, name=name, scan_threshold=scan_threshold, tile=tile
     )

@@ -15,10 +15,15 @@ elementwise and returns the SUM over all elements.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-LOG_SQRT_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+# Python float, not a jnp scalar: module-level jnp values become captured
+# constants in any Pallas kernel that traces these densities
+# (ops/nuts_pallas.tile_model_from_logp), which pallas_call rejects.
+LOG_SQRT_2PI = float(0.5 * math.log(2.0 * math.pi))
 
 
 def _lp(elementwise):

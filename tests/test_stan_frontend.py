@@ -409,3 +409,83 @@ def test_frontend_arma_smc_on_tpu():
     gt_mean, gt_var = ground_truth()
     # 4-sd band on each coordinate, as in tests/test_parity.py.
     assert np.all(np.abs(mean - gt_mean) < 4 * np.sqrt(gt_var)), mean
+
+
+# ------------------------------------------- in-kernel tile adapter
+
+
+def test_tile_adapter_matches_logp_and_grad():
+    """tile=True builds an in-kernel tile model for ANY compiled program
+    (ops/nuts_pallas.tile_model_from_logp): the double-vmapped tile_fn must
+    reproduce logp and jax.grad exactly on the (8,128) lane layout."""
+    data = _recurrence_data(T=40)
+    m = compile_stan_program(_RECURRENCE, data, name="rec", tile=True)
+    assert m.tile_model is not None and m.tile_model.dim == 2
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 0.4, (1024, 2))
+    tiles = [jnp.asarray(x[:, d].reshape(8, 128), jnp.float32)
+             for d in range(2)]
+    logp, grads = m.tile_model.tile_fn(
+        (), tiles, jnp.full((8, 128), 0.7, jnp.float32)
+    )
+    xj = jnp.asarray(x, jnp.float32)
+    lp_ref = m.logp_batch(xj, 0.7)
+    np.testing.assert_allclose(
+        np.asarray(logp).reshape(-1), np.asarray(lp_ref), rtol=1e-4,
+        atol=1e-4,
+    )
+    g_ref = np.asarray(
+        jax.vmap(lambda t: jax.grad(lambda q: m.logp(q, 0.7))(t))(xj)
+    )
+    g_tile = np.stack([np.asarray(g).reshape(-1) for g in grads], axis=1)
+    scale = np.abs(g_ref).max() + 1e-6
+    np.testing.assert_allclose(g_tile / scale, g_ref / scale, atol=1e-5)
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="reference assets not mounted")
+def test_frontend_arma_through_pallas_kernel_interpret():
+    """The reference arma.stan, compiled with tile=True, runs through the
+    whole-tree Pallas NUTS kernel (interpret mode) with in-kernel-correct
+    log densities."""
+    from smcnuts_tpu.ops.nuts_pallas import nuts_batch_pallas
+
+    m = compile_stan_file(
+        f"{_REF}/arma/arma.stan", data=f"{_REF}/arma/arma.json", tile=True
+    )
+    rng = np.random.default_rng(0)
+    n = 16
+    x = jnp.asarray(
+        rng.normal(0, 0.05, (n, 4)) + np.array([0.007, 0.96, -0.03, -1.8]),
+        jnp.float32,
+    )
+    r = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    _, _, st = nuts_batch_pallas(
+        m.tile_model, x, r, 3, 0.01, 0.8, max_depth=3, interpret=True
+    )
+    lp_ref = m.logp_batch(x, 0.8)
+    np.testing.assert_allclose(
+        np.asarray(st["logp0"]), np.asarray(lp_ref), rtol=1e-4, atol=1e-2
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Mosaic compilation of the generic tile adapter needs the chip",
+)
+def test_frontend_arma_tile_smc_on_tpu():
+    """Flagship round-trip: raw arma.stan -> tile-compiled model -> the
+    whole-tree Pallas NUTS backend -> posterior moments, on the real TPU."""
+    from smcnuts_tpu import SMCConfig, run_smc
+    from smcnuts_tpu.models.arma import ground_truth
+
+    m = compile_stan_file(
+        f"{_REF}/arma/arma.stan", data=f"{_REF}/arma/arma.json", tile=True
+    )
+    cfg = SMCConfig(
+        n_particles=256, n_iterations=15, step_size=0.01,
+        save_history=False, nuts_backend="pallas",
+    )
+    res = run_smc(m, cfg, jax.random.key(11))
+    mean = np.asarray(res.mean_estimate[-1])
+    gt_mean, gt_var = ground_truth()
+    assert np.all(np.abs(mean - gt_mean) < 4 * np.sqrt(gt_var)), mean
