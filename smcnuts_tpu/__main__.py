@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--data", default=None, metavar="DATA.json",
                    help="Stan data JSON for --stan ('phi' in the data block "
                         "is bound as the tempering parameter)")
+    p.add_argument("--stan-tile", action="store_true",
+                   help="with --stan: also build the in-kernel tile model "
+                        "so the program runs on the whole-tree Pallas NUTS "
+                        "backend (loops fully unrolled in-kernel)")
     p.add_argument("-N", "--particles", type=int, default=512)
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--step-size", type=float, default=None)
@@ -55,7 +59,8 @@ def main(argv=None):
     if args.stan is not None:
         from .stan import compile_stan_file
 
-        model = compile_stan_file(args.stan, data=args.data)
+        model = compile_stan_file(args.stan, data=args.data,
+                                  tile=args.stan_tile)
         args.model = model.name
         if args.step_size is None:
             args.step_size = 0.5

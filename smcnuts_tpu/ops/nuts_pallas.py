@@ -442,6 +442,14 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
             pltpu.VMEM((max_depth + 1, D, _SUBLANES, _LANES), jnp.float32),
             pltpu.VMEM((max_depth + 1, D, _SUBLANES, _LANES), jnp.float32),
         ],
+        # Raise the scoped-vmem ceiling from the 16 MB default toward the
+        # chip's 128 MB: hand tile models need little, but the generic
+        # adapter (tile_model_from_logp) holds a model body's unrolled VJP
+        # residuals on the kernel stack (measured 38 MB for a T=40
+        # recurrence).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         # TPU-semantics interpreter (supports the TPU PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, nvalid_arr, phi_t, eps_t, im_t, x_t, r_t,
@@ -608,7 +616,12 @@ def tile_model_from_logp(logp_fn, dim, extra=()) -> TileModel:
     Caveats: the model must avoid primitives Mosaic cannot lower (e.g.
     lgamma on traced values — fold data-dependent lgamma terms into
     constants at build time, as prmwcd_tile_model does); `phi` may arrive
-    as a per-lane tile and is vmapped alongside theta.
+    as a per-lane tile and is vmapped alongside theta. The unrolled leaf
+    body plus its VJP residuals must fit VMEM (128 MB on v5e): a ~40-step
+    recurrence fits; the T=200 arma recurrence was measured to spill 594 MB
+    of register-allocator slots and fail to compile — long recurrences need
+    a hand tile_fn with fused tangent recurrences (arma_tile_model) or the
+    XLA backend.
     """
 
     def tile_fn(extra_refs, x_tiles, phi):

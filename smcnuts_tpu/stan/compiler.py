@@ -718,7 +718,9 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
     the whole-tree Pallas NUTS backend — the tempered target is evaluated
     ONCE per leaf (target(theta, phi) + jacobian, exact under the linear-phi
     convention) instead of the logprior/loglik split. Best-effort: Mosaic
-    must be able to lower everything the model body traces to.
+    must be able to lower everything the model body traces to, and the
+    fully-unrolled body + VJP residuals must fit VMEM (~40-step recurrences
+    fit on v5e; the T=200 arma does not — see tile_model_from_logp).
     """
     prog = parse(source)
     if "parameters" not in prog.blocks:
