@@ -22,6 +22,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 # A dispatch over the axon relay costs a jittery ~20-25 ms round trip; any
@@ -56,14 +57,22 @@ def materialize(tree):
     each synchronous fetch costs a ~25 ms round trip, so serially
     materializing a many-array result (e.g. a full SMCResult, ~15 arrays)
     would pay ~0.4 s in pure latency; the async pass overlaps them."""
+    def is_key(a):
+        return hasattr(a, "dtype") and jnp.issubdtype(
+            a.dtype, jax.dtypes.prng_key
+        )
+
     for a in jax.tree.leaves(tree):
-        if hasattr(a, "copy_to_host_async"):
+        if hasattr(a, "copy_to_host_async") and not is_key(a):
             try:
                 a.copy_to_host_async()
             except Exception:
                 pass  # transport without async support: serial fetch below
     return jax.tree.map(
-        lambda a: np.asarray(a) if hasattr(a, "shape") else a, tree
+        # PRNG key arrays (extended dtype) have no numpy form; pass through.
+        lambda a: np.asarray(a)
+        if hasattr(a, "shape") and not is_key(a) else a,
+        tree,
     )
 
 
