@@ -60,8 +60,11 @@ class TileModel:
     which the per-instance kernel cache below relies on."""
 
     dim: int
-    extra: Sequence[jnp.ndarray]  # data arrays, passed through SMEM
+    extra: Sequence[jnp.ndarray]  # data arrays (SMEM scalars by default)
     tile_fn: Callable  # (extra_refs, x_tiles list[D], phi) -> (logp, grads)
+    # Per-extra memory space: "smem" (scalar loads; default) or "vmem"
+    # (whole-array vector loads).
+    extra_spaces: Sequence[str] | None = None
 
 
 def _popcount_scalar(v, bits=13):
@@ -427,7 +430,16 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
             tile_spec,  # r
             *[
                 pl.BlockSpec(memory_space=pltpu.SMEM)
-                for _ in tile_model.extra
+                if space == "smem"
+                # Whole-array VMEM block, same for every grid step.
+                else pl.BlockSpec(
+                    jnp.shape(arr), lambda i, _nd=jnp.ndim(arr): (0,) * _nd
+                )
+                for arr, space in zip(
+                    tile_model.extra,
+                    tile_model.extra_spaces
+                    or ("smem",) * len(tile_model.extra),
+                )
             ],
         ],
         out_specs=[
@@ -630,9 +642,21 @@ def tile_model_from_logp(logp_fn, dim, extra=()) -> TileModel:
         phi_t = jnp.broadcast_to(
             jnp.asarray(phi, theta.dtype), theta.shape[1:]
         )
-        # lanes: (D, 128), (128,) -> (128,); tiles: adds the sublane axis.
+        # lanes: (D, 128), (128,) -> (128,); tiles adds the sublanes.
         lanes = jax.vmap(logp_fn, in_axes=(-1, -1), out_axes=-1)
         tiles = jax.vmap(lanes, in_axes=(1, 0), out_axes=0)
+        # REVERSE-mode gradient. Two dead ends are documented here so they
+        # are not retried: (a) forward mode (jax.jacfwd) has O(1) live
+        # state in the recurrence length (the VJP stores every intermediate
+        # as a residual), but its in-kernel Mosaic compile is pathological —
+        # a T=40 recurrence that compiles in ~2 min with this VJP form ran
+        # >60 min with jacfwd before being killed; (b) lowering the model's
+        # long loops to lax.scan inside the kernel fails structurally:
+        # Mosaic's in-kernel scan supports carry-only scans
+        # (num_extensive unimplemented), scan xs/ys or any captured data
+        # array trips "captures constants", and dynamic container indexing
+        # batches into gather/scatter under vmap, which Mosaic cannot
+        # lower either.
         logp, vjp_fn = jax.vjp(lambda th: tiles(th, phi_t), theta)
         grads = vjp_fn(jnp.ones_like(logp))[0]
         return logp, [grads[d] for d in range(dim)]

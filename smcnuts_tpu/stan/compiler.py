@@ -47,6 +47,7 @@ falls back to the unrolled form, which is always semantically correct.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Any
@@ -120,7 +121,7 @@ class _LocalArray:
     def as_array(self):
         return _stack_nested(self.data)
 
-    def as_array_filled(self, fill=float("nan")):
+    def as_array_filled(self, fill=float("nan"), fill_scalar=None):
         """Like as_array, but uninitialized elements become `fill` (NaN —
         Stan's own value for undefined reals) instead of raising. Used when
         a container becomes a lax.scan carry, where a read-before-write then
@@ -128,8 +129,13 @@ class _LocalArray:
 
         Mostly-uninitialized containers (the common pre-recurrence shape:
         a handful of seed elements set before a long scanned loop) lower to
-        one jnp.full plus a few scatters rather than a T-element stack —
-        keeping the traced program O(1) in the container length."""
+        one fill plus a few scatters rather than a T-element stack — keeping
+        the traced program O(1) in the container length.
+
+        `fill_scalar`, if given, is a prebuilt (possibly traced) scalar used
+        as the fill — the Pallas-kernel mode passes an anchor-derived NaN so
+        no concrete array constant is ever created (pallas_call rejects
+        captured constants)."""
         sets = []
         complete = True
 
@@ -147,17 +153,25 @@ class _LocalArray:
         if complete:
             return _stack_nested(self.data)
         if len(sets) <= 32:
-            arr = jnp.full(self.dims, fill, dtype=float)
+            if fill_scalar is None:
+                arr = jnp.full(self.dims, fill, dtype=float)
+            else:
+                arr = jnp.broadcast_to(fill_scalar, self.dims)
             for idx, val in sets:
-                arr = arr.at[idx].set(jnp.asarray(val, dtype=float))
+                arr = arr.at[idx].set(val)
             return arr
 
         def conv(node):
             if isinstance(node, list):
                 return jnp.stack([conv(x) for x in node])
             if node is None:
-                return jnp.asarray(fill, dtype=float)
-            return jnp.asarray(node, dtype=float)
+                return (
+                    jnp.asarray(fill, dtype=float)
+                    if fill_scalar is None else fill_scalar
+                )
+            return node if fill_scalar is not None else jnp.asarray(
+                node, dtype=float
+            )
 
         return conv(self.data)
 
@@ -201,6 +215,67 @@ class _ScanLoweringError(Exception):
     """A loop body the scan path cannot express; fall back to unrolling."""
 
 
+def _match_loopvar_offset(expr, varname):
+    """Structurally match an index expression as loopvar + constant offset:
+    `t` -> 0, `t - 2` -> -2, `t + 1`/`1 + t` -> +1. Returns the offset or
+    None if the expression is not of that form."""
+    if isinstance(expr, Var):
+        return 0 if expr.name == varname else None
+    if isinstance(expr, Bin) and expr.op in ("+", "-"):
+        left, right = expr.left, expr.right
+        if (
+            isinstance(left, Var) and left.name == varname
+            and isinstance(right, Num) and float(right.value).is_integer()
+        ):
+            k = int(right.value)
+            return k if expr.op == "+" else -k
+        if (
+            expr.op == "+"
+            and isinstance(right, Var) and right.name == varname
+            and isinstance(left, Num) and float(left.value).is_integer()
+        ):
+            return int(left.value)
+    return None
+
+
+def _mentions_var(node, varname):
+    """Does an AST node reference `varname` anywhere?"""
+    if isinstance(node, Var):
+        return node.name == varname
+    if isinstance(node, (list, tuple)):
+        return any(_mentions_var(x, varname) for x in node)
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        return any(
+            _mentions_var(getattr(node, f.name), varname)
+            for f in dataclasses.fields(node)
+        )
+    return False
+
+
+class _StreamView:
+    """In-body stand-in for a container lowered to the streaming-scan form:
+    reads at loopvar-k come from the carried window, the write at loopvar
+    becomes this step's scan output."""
+
+    def __init__(self, name, window):
+        self.name = name
+        self.window = window  # dict lag (>=1) -> value entering this step
+        self.current = None  # value written at index == loopvar this step
+
+    def read(self, lag):
+        if lag == 0:
+            if self.current is None:
+                raise _ScanLoweringError(
+                    f"{self.name}[t] read before its write this iteration"
+                )
+            return self.current
+        if lag not in self.window:
+            raise _ScanLoweringError(
+                f"{self.name}[t-{lag}] exceeds the analyzed window"
+            )
+        return self.window[lag]
+
+
 def _walk_writes(stmts, assigned, declared):
     """Collect names assigned (carried state) and names declared (body
     locals) in a loop body; raise _ScanLoweringError on constructs the scan
@@ -235,7 +310,7 @@ def _walk_writes(stmts, assigned, declared):
 
 
 class _Interp:
-    def __init__(self, env, scan_threshold=None, rng_key=None):
+    def __init__(self, env, scan_threshold=None, rng_key=None, anchor=None):
         self.env = env  # name -> value
         self.target = jnp.asarray(0.0, dtype=float)
         # Loops with at least this many iterations are lowered to lax.scan
@@ -245,6 +320,20 @@ class _Interp:
         # Fixed RNG for *_rng calls (generated quantities); None elsewhere.
         self.rng_key = rng_key
         self._rng_count = 0
+        # Pallas-kernel mode: a traced (unbatched) scalar used to construct
+        # every array the scan lowering would otherwise create as a concrete
+        # constant (scan inits, loop counters) — pallas_call rejects
+        # captured non-scalar constants, so inside a kernel they must be
+        # built from traced values (broadcasts of anchor*0).
+        self.anchor = anchor
+
+    def _traced_fill(self, dims, fill):
+        """A `dims`-shaped array of `fill`, traced off the anchor (kernel
+        mode) or concrete (otherwise)."""
+        if self.anchor is None:
+            return jnp.full(dims, fill, dtype=float)
+        z = self.anchor * 0.0 + fill
+        return jnp.broadcast_to(z, dims) if dims else z
 
     # -- expressions --
     def ev(self, node):
@@ -499,14 +588,281 @@ class _Interp:
 
     # ------------------------------------------------- scan loop lowering
 
+    def _analyze_stream(self, s: For, container_names, array_names):
+        """Classify the loop body for the STREAMING scan form: every write
+        to a streamable container must be `C[t] = ...` (t the loop var),
+        every read `C[t-k]` (k >= 0), and loop-var-dependent data reads must
+        be affine `A[t+c]`. Returns (creads: name -> set of lags,
+        dreads: name -> set of offsets); raises _ScanLoweringError when the
+        body does not fit the idiom."""
+        creads: dict = {}
+        dreads: dict = {}
+        var = s.var
+
+        _EXPR_TYPES = (Num, Var, Unary, Bin, Ternary, Index, Call)
+
+        def walk_expr(node):
+            if isinstance(node, Index) and isinstance(node.base, Var):
+                bname = node.base.name
+                if bname in container_names:
+                    if len(node.indices) != 1:
+                        raise _ScanLoweringError("multi-index stream read")
+                    off = _match_loopvar_offset(node.indices[0], var)
+                    if off is None or off > 0:
+                        raise _ScanLoweringError(
+                            f"{bname} read at non-window index"
+                        )
+                    creads.setdefault(bname, set()).add(-off)
+                    return
+                if bname in array_names:
+                    if len(node.indices) == 1:
+                        off = _match_loopvar_offset(node.indices[0], var)
+                        if off is not None:
+                            dreads.setdefault(bname, set()).add(off)
+                            return
+                    if _mentions_var(node.indices, var):
+                        raise _ScanLoweringError("non-affine data index")
+                for i in node.indices:
+                    walk_expr(i)
+                return
+            if isinstance(node, Var) and node.name in container_names:
+                raise _ScanLoweringError(
+                    f"whole-container read of {node.name} inside the loop"
+                )
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk_expr(x)
+            elif dataclasses.is_dataclass(node) and not isinstance(node, type):
+                for f in dataclasses.fields(node):
+                    v = getattr(node, f.name)
+                    if isinstance(v, _EXPR_TYPES + (list, tuple)):
+                        walk_expr(v)
+
+        def walk_stmt(st):
+            if isinstance(st, list):
+                for x in st:
+                    walk_stmt(x)
+            elif isinstance(st, Assign):
+                lv = st.lvalue
+                if isinstance(lv, Index) and isinstance(lv.base, Var) and (
+                    lv.base.name in container_names
+                ):
+                    if len(lv.indices) != 1 or _match_loopvar_offset(
+                        lv.indices[0], var
+                    ) != 0:
+                        raise _ScanLoweringError(
+                            f"{lv.base.name} written at an index other "
+                            "than the loop variable"
+                        )
+                elif isinstance(lv, Var) and lv.name in container_names:
+                    raise _ScanLoweringError("whole-container assignment")
+                else:
+                    walk_expr(lv)
+                walk_expr(st.expr)
+            elif isinstance(st, (TargetPlus,)):
+                walk_expr(st.expr)
+            elif isinstance(st, Sampling):
+                walk_expr(st.lhs)
+                for a in st.args:
+                    walk_expr(a)
+            elif isinstance(st, For):
+                if st.var == var:
+                    raise _ScanLoweringError("inner loop shadows loop var")
+                walk_expr(st.lo)
+                walk_expr(st.hi)
+                walk_stmt(st.body)
+            elif isinstance(st, If):
+                walk_expr(st.cond)
+                walk_stmt(st.then)
+                walk_stmt(st.other)
+            elif isinstance(st, Decl):
+                if st.init is not None:
+                    walk_expr(st.init)
+
+        walk_stmt(s.body)
+        return creads, dreads
+
+    def _run_for_scan_streamed(self, s: For, lo, hi, carried, declared):
+        """Streaming scan form: container writes at the loop index become
+        stacked scan outputs (ys), reads at bounded lags become a small
+        carried window, and affine data reads become pre-sliced scan xs —
+        NO dynamic indexing anywhere, so the traced loop is exactly the
+        dataflow a TPU wants: vmap keeps it gather/scatter-free and Mosaic
+        lowers it inside Pallas kernels, while the XLA path gets a leaner
+        scan than the dynamic-slice form."""
+        env = self.env
+        stream_names = [
+            n for n in carried if isinstance(env.get(n), _LocalArray)
+        ]
+        scalar_names = [n for n in carried if n not in stream_names]
+        for n in stream_names:
+            if len(env[n].dims) != 1:
+                raise _ScanLoweringError("only rank-1 containers stream")
+        array_names = {
+            n for n, v in env.items()
+            if n not in carried
+            and not isinstance(v, _LocalArray)
+            and hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
+        }
+        creads, dreads = self._analyze_stream(
+            s, set(stream_names), array_names
+        )
+
+        anchor = self.anchor
+        nan_scalar = self._traced_fill((), float("nan"))
+
+        def elem(v):
+            """One container element as a (possibly traced) scalar value."""
+            if v is None:
+                return nan_scalar
+            if anchor is not None and not isinstance(v, jax.core.Tracer):
+                return self._traced_fill((), float(np.asarray(v)))
+            return jnp.asarray(v, dtype=float) if not isinstance(
+                v, jax.core.Tracer
+            ) else v
+
+        # Carried window: C[lo-k] for every read lag k (1-based indices).
+        windows = {}
+        for n in stream_names:
+            lags = sorted(k for k in creads.get(n, set()) if k >= 1)
+            vals = {}
+            for k in lags:
+                if lo - k < 1:
+                    raise _ScanLoweringError(
+                        f"{n}[t-{k}] out of bounds at the first iteration"
+                    )
+                vals[k] = elem(env[n].data[lo - k - 1])
+            windows[n] = vals
+
+        # xs: static slices of the data arrays, one per (name, offset).
+        length = hi - lo + 1
+        xs_keys = []
+        xs_arrays = []
+        for name, offs in sorted(dreads.items()):
+            arr = env[name]
+            n_len = int(np.shape(arr)[0])
+            for off in sorted(offs):
+                a0, a1 = lo + off - 1, hi + off
+                if a0 < 0 or a1 > n_len:
+                    raise _ScanLoweringError(
+                        f"{name}[t{off:+d}] out of bounds"
+                    )
+                sl = arr[a0:a1]
+                if anchor is not None and not isinstance(
+                    sl, jax.core.Tracer
+                ):
+                    raise _ScanLoweringError(
+                        "concrete data slice in kernel mode"
+                    )
+                xs_keys.append((name, off))
+                xs_arrays.append(jnp.asarray(sl, dtype=float))
+
+        def scalar_init(v):
+            if v is None:
+                return nan_scalar
+            if anchor is not None and not isinstance(v, jax.core.Tracer):
+                a = np.asarray(v)
+                if a.ndim:
+                    raise _ScanLoweringError("array-valued scalar carry")
+                return self._traced_fill((), float(a))
+            return jnp.asarray(v)
+
+        scalar_init_vals = tuple(scalar_init(env[n]) for n in scalar_names)
+        window_init = tuple(
+            tuple(windows[n][k] for k in sorted(windows[n]))
+            for n in stream_names
+        )
+        if anchor is not None:
+            i0 = (anchor * 0.0).astype(jnp.int32) + lo
+        else:
+            i0 = jnp.asarray(lo, jnp.int32)
+        outer_env = self.env
+        rng_key = self.rng_key
+        rng_base = self._rng_count
+
+        def body(carry, xs_step):
+            scalars, wins, tgt, i = carry
+            benv = dict(outer_env)
+            benv.update(zip(scalar_names, scalars))
+            benv[s.var] = i
+            streams = {}
+            for n, wv in zip(stream_names, wins):
+                streams[n] = _StreamView(
+                    n, dict(zip(sorted(windows[n]), wv))
+                )
+            xs_vals = dict(zip(xs_keys, xs_step))
+            body_key = None
+            if rng_key is not None:
+                body_key = jax.random.fold_in(
+                    jax.random.fold_in(rng_key, 1_000_003 + rng_base), i
+                )
+            interp = _ScanInterp(
+                benv, rng_key=body_key, anchor=anchor,
+                streams=streams, xs_vals=xs_vals, loopvar=s.var,
+            )
+            interp.run(s.body)
+            new_scalars = tuple(
+                jnp.asarray(_as_value(interp.env[n])) for n in scalar_names
+            )
+            ys = []
+            new_wins = []
+            for n in stream_names:
+                sv = streams[n]
+                if sv.current is None:
+                    raise _ScanLoweringError(
+                        f"{n} not written every iteration"
+                    )
+                ys.append(sv.current)
+                lags = sorted(windows[n])
+                nw = []
+                for k in lags:
+                    nw.append(sv.current if k == 1 else sv.window[k - 1])
+                new_wins.append(tuple(nw))
+            return (
+                (new_scalars, tuple(new_wins), tgt + interp.target, i + 1),
+                tuple(ys),
+            )
+
+        (final_scalars, _, tgt, _), ys_out = jax.lax.scan(
+            body,
+            (scalar_init_vals, window_init, self._traced_fill((), 0.0), i0),
+            tuple(xs_arrays),
+            length=length,
+        )
+
+        # Reconstruct each streamed container: untouched prefix/suffix
+        # elements around the stacked loop outputs (concatenation only — a
+        # static-index update would batch into a scatter under vmap).
+        for n, ys in zip(stream_names, ys_out):
+            data = env[n].data
+            t_len = env[n].dims[0]
+            parts = []
+            if lo - 1 > 0:
+                parts.append(jnp.stack([elem(v) for v in data[: lo - 1]]))
+            parts.append(ys)
+            if hi < t_len:
+                parts.append(jnp.stack([elem(v) for v in data[hi:]]))
+            self.env[n] = jnp.concatenate(parts, axis=0) if len(
+                parts
+            ) > 1 else parts[0]
+        for n, v in zip(scalar_names, final_scalars):
+            self.env[n] = v
+        self.target = self.target + tgt
+        if rng_key is not None:
+            self._rng_count = rng_base + 1
+
     def _run_for_scanned(self, s: For, lo, hi):
-        """Lower a long data-bounded `for` loop to lax.scan: the names its
-        body assigns become the carry (containers materialized as arrays,
-        NaN-filled where uninitialized, matching Stan's undefined-real
-        value), loop-variable indexing becomes dynamic gather/scatter, and
-        target increments accumulate through the carry. Commits env/target
-        mutations only after the scan traces successfully, so a failed
-        attempt can fall back to unrolling with no side effects."""
+        """Lower a long data-bounded `for` loop to lax.scan. The STREAMING
+        form is preferred (container writes at the loop index -> stacked ys,
+        lagged reads -> carried window, affine data reads -> pre-sliced xs;
+        no dynamic indexing, so it vmaps gather-free and lowers in Pallas
+        kernels). Bodies outside that idiom fall back to the CARRIED-ARRAY
+        form: assigned names become the carry (containers materialized as
+        arrays, NaN-filled where uninitialized, matching Stan's
+        undefined-real value) and loop-variable indexing becomes dynamic
+        slices/updates. Commits env/target mutations only after the scan
+        traces successfully, so a failed attempt can fall back to unrolling
+        with no side effects."""
         assigned, declared = set(), set()
         _walk_writes(s.body, assigned, declared)
         carried = sorted(assigned - declared)
@@ -514,20 +870,53 @@ class _Interp:
             if n not in self.env:
                 raise _ScanLoweringError(f"assignment to undefined {n!r}")
 
+        # Prefer the streaming form (pure dataflow, no dynamic indexing).
+        try:
+            self._run_for_scan_streamed(s, lo, hi, carried, declared)
+            return
+        except _ScanLoweringError:
+            if self.anchor is not None:
+                # Kernel mode: the carried-array fallback would trace
+                # dynamic slices that batch into gathers/scatters Mosaic
+                # cannot lower — surface the reason instead.
+                raise
+
+        anchor = self.anchor
+        nan_scalar = self._traced_fill((), float("nan"))
+
         def materialize(v):
             if v is None:
-                return jnp.asarray(float("nan"), dtype=float)
+                return nan_scalar
             if isinstance(v, _LocalArray):
-                return v.as_array_filled()
+                return v.as_array_filled(
+                    fill_scalar=nan_scalar if anchor is not None else None
+                )
+            if anchor is not None and not isinstance(v, jax.core.Tracer):
+                a = np.asarray(v)
+                if a.ndim == 0:
+                    # Rebuild concrete scalars off the anchor so no jnp
+                    # constant is captured by the kernel.
+                    return self._traced_fill((), float(a))
+                raise _ScanLoweringError(
+                    "concrete array carried into a kernel-mode scan"
+                )
             return jnp.asarray(v)
 
         init_vals = tuple(materialize(self.env[n]) for n in carried)
         outer_env = self.env
         rng_key = self.rng_key
         rng_base = self._rng_count
+        # The loop index rides the carry (an unbatched int when the scan is
+        # traced inside a vmapped kernel body — keeping container reads at
+        # dynamic-slice, not per-lane-gather, strength) instead of an
+        # arange xs, which would be a captured constant in kernel mode.
+        if anchor is not None:
+            i0 = (anchor * 0.0).astype(jnp.int32) + lo
+        else:
+            i0 = jnp.asarray(lo, jnp.int32)
 
-        def body(carry, i):
-            vals, tgt = carry
+        def body(carry, _):
+            vals, tgt, i = carry
             env = dict(outer_env)
             env.update(zip(carried, vals))
             env[s.var] = i
@@ -537,16 +926,18 @@ class _Interp:
                 body_key = jax.random.fold_in(
                     jax.random.fold_in(rng_key, 1_000_003 + rng_base), i
                 )
-            interp = _ScanInterp(env, rng_key=body_key)
+            interp = _ScanInterp(env, rng_key=body_key, anchor=anchor)
             interp.run(s.body)
             new_vals = tuple(
                 jnp.asarray(_as_value(interp.env[n])) for n in carried
             )
-            return (new_vals, tgt + interp.target), None
+            return (new_vals, tgt + interp.target, i + 1), None
 
-        xs = jnp.arange(lo, hi + 1, dtype=jnp.int32)
-        (final_vals, tgt), _ = jax.lax.scan(
-            body, (init_vals, jnp.asarray(0.0, dtype=float)), xs
+        (final_vals, tgt, _), _ = jax.lax.scan(
+            body,
+            (init_vals, self._traced_fill((), 0.0), i0),
+            None,
+            length=hi - lo + 1,
         )
         for n, v in zip(carried, final_vals):
             self.env[n] = v
@@ -563,8 +954,55 @@ class _ScanInterp(_Interp):
     traced inner bounds or traced `if` conditions raise, which aborts the
     enclosing lowering attempt and falls back to full unrolling."""
 
-    def __init__(self, env, rng_key=None):
-        super().__init__(env, scan_threshold=None, rng_key=rng_key)
+    def __init__(self, env, rng_key=None, anchor=None, streams=None,
+                 xs_vals=None, loopvar=None):
+        super().__init__(env, scan_threshold=None, rng_key=rng_key,
+                         anchor=anchor)
+        # Streaming-scan context (see _run_for_scan_streamed): container
+        # reads/writes and affine data reads are resolved STRUCTURALLY
+        # against the loop variable, never via dynamic indexing.
+        self.streams = streams
+        self.xs_vals = xs_vals
+        self.loopvar = loopvar
+
+    def ev(self, node):
+        if self.streams is not None and isinstance(node, Index) and (
+            isinstance(node.base, Var)
+        ):
+            nm = node.base.name
+            if nm in self.streams:
+                off = _match_loopvar_offset(node.indices[0], self.loopvar)
+                if off is None or len(node.indices) != 1:
+                    raise _ScanLoweringError("non-window stream read")
+                return self.streams[nm].read(-off)
+            if len(node.indices) == 1:
+                off = _match_loopvar_offset(node.indices[0], self.loopvar)
+                if off is not None and (nm, off) in self.xs_vals:
+                    return self.xs_vals[(nm, off)]
+        return super().ev(node)
+
+    def _assign(self, s):
+        lv = s.lvalue
+        if self.streams is not None and isinstance(lv, Index) and (
+            isinstance(lv.base, Var) and lv.base.name in self.streams
+        ):
+            val = self.ev(s.expr)
+            if s.op != "=":
+                cur = self.ev(lv)
+                l, r = _as_value(cur), _as_value(val)
+                val = {
+                    "+=": lambda: l + r,
+                    "-=": lambda: l - r,
+                    "*=": lambda: l * r,
+                    "/=": lambda: l / r,
+                }[s.op]()
+            if len(lv.indices) != 1 or _match_loopvar_offset(
+                lv.indices[0], self.loopvar
+            ) != 0:
+                raise _ScanLoweringError("stream write not at loop var")
+            self.streams[lv.base.name].current = _as_value(val)
+            return
+        super()._assign(s)
 
     def _index_read(self, base, idxs):
         if all(_is_static_int(i) for i in idxs):
@@ -579,7 +1017,12 @@ class _ScanInterp(_Interp):
             if _is_static_int(i):
                 out = out[int(i) - 1]
             else:
-                out = jnp.take(out, jnp.asarray(i) - 1, axis=0)
+                # dynamic_index_in_dim, not jnp.take: take lowers to a
+                # gather, which Mosaic cannot lower inside Pallas kernels;
+                # a scalar dynamic index is just a dynamic_slice.
+                out = jax.lax.dynamic_index_in_dim(
+                    out, jnp.asarray(i) - 1, axis=0, keepdims=False
+                )
         return out
 
     def _indexed_assign(self, name, idxs, val):
@@ -600,11 +1043,16 @@ class _ScanInterp(_Interp):
             raise _ScanLoweringError(
                 f"traced write into non-carried container {name!r}"
             )
-        ix = tuple(
-            int(i) - 1 if _is_static_int(i) else jnp.asarray(i) - 1
-            for i in idxs
-        )
-        self.env[name] = jnp.asarray(container).at[ix].set(_as_value(val))
+        # dynamic_update_slice, not .at[traced].set: the latter lowers to a
+        # scatter, which Mosaic cannot lower inside Pallas kernels.
+        arr = jnp.asarray(container)
+        k = len(idxs)
+        v = jnp.asarray(_as_value(val), arr.dtype)
+        v = v.reshape((1,) * k + v.shape)
+        starts = tuple(
+            jnp.asarray(i, jnp.int32) - 1 for i in idxs
+        ) + (0,) * (arr.ndim - k)
+        self.env[name] = jax.lax.dynamic_update_slice(arr, v, starts)
 
 
 # ------------------------------------------------------------ param packing
@@ -765,13 +1213,16 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             off += s.count
         return env, jac
 
-    def _eval_target(theta, phi, threshold=scan_threshold):
+    def _eval_target(theta, phi, threshold=scan_threshold, env_extra=None,
+                     anchor=None):
         env = dict(data_env)
+        if env_extra:
+            env.update(env_extra)
         penv, jac = _unpack(theta)
         env.update(penv)
         if has_phi:
             env["phi"] = phi
-        interp = _Interp(env, scan_threshold=threshold)
+        interp = _Interp(env, scan_threshold=threshold, anchor=anchor)
         interp.run(tp_block)
         interp.run(model_block)
         return interp.target, jac
@@ -872,9 +1323,12 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             # twice per gradient inside the kernel. Loops are FULLY UNROLLED
             # here regardless of scan_threshold: inside a Pallas kernel,
             # scalar data reads inline as literals (the hand tile models'
-            # bake-constants trick), whereas the scan lowering materializes
-            # concrete data/carry arrays that pallas_call rejects as
-            # captured constants.
+            # bake-constants trick), whereas any scan would either capture
+            # its data/init arrays as constants (pallas_call rejects those)
+            # or need extensive scan inputs/outputs, which Mosaic's
+            # in-kernel scan lowering does not implement (num_extensive).
+            # The VMEM envelope this implies (and the rejected
+            # alternatives) are documented in tile_model_from_logp.
             t, jac = _eval_target(theta, phi, threshold=None)
             return t + jac
 
