@@ -508,3 +508,119 @@ def test_frontend_tile_smc_on_tpu():
     assert abs(mean[0] - true_a) < 0.3, mean
     assert abs(mean[1] - 0.5) < 0.3, mean
     assert np.all(np.isfinite(np.asarray(res.ess)))
+
+
+# ------------------------------------------- streaming-scan edge cases
+
+
+def _both(src, data, **kw):
+    """Compile with the scan path forced (threshold 4) and fully unrolled;
+    the pair must agree exactly."""
+    return (
+        compile_stan_program(src, data, scan_threshold=4, **kw),
+        compile_stan_program(src, data, scan_threshold=None, **kw),
+    )
+
+
+def _assert_models_agree(a, b, dim, phi=0.7, seed=0, n=4):
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        th = jnp.asarray(rng.normal(size=dim) * 0.4, jnp.float32)
+        np.testing.assert_allclose(
+            a.logp(th, phi), b.logp(th, phi), rtol=1e-5, atol=1e-4
+        )
+        ga = jax.grad(lambda t: a.logp(t, phi))(th)
+        gb = jax.grad(lambda t: b.logp(t, phi))(th)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_stream_lag2_window():
+    """AR(2)-style recurrence: the streamed form must carry a 2-deep
+    window."""
+    src = """
+    data { int<lower=1> T; real y[T]; real phi; }
+    parameters { real a; real b; }
+    model {
+      vector[T] e;
+      e[1] = y[1];
+      e[2] = y[2] - a * e[1];
+      for (t in 3:T) { e[t] = y[t] - a * e[t-1] - b * e[t-2]; }
+      a ~ normal(0, 1);
+      b ~ normal(0, 1);
+      target += phi * normal_lpdf(e | 0, 1);
+    }
+    """
+    data = {"T": 24, "y": np.random.default_rng(1).normal(size=24).tolist()}
+    _assert_models_agree(*_both(src, data), dim=2)
+
+
+def test_stream_partial_range_prefix_suffix():
+    """A loop covering only the middle of the container: the untouched
+    prefix AND suffix elements must survive the streamed reconstruction
+    (the final lpdf reads the whole container)."""
+    src = """
+    data { int<lower=1> T; real y[T]; real phi; }
+    parameters { real a; }
+    model {
+      vector[T] e;
+      e[1] = y[1];
+      e[2] = y[2];
+      e[T] = y[T];
+      for (t in 3:T-1) { e[t] = y[t] - a * e[t-1]; }
+      a ~ normal(0, 1);
+      target += phi * normal_lpdf(e | 0, 1);
+    }
+    """
+    data = {"T": 20, "y": np.random.default_rng(2).normal(size=20).tolist()}
+    _assert_models_agree(*_both(src, data), dim=1)
+
+
+def test_stream_data_offsets_and_loopvar_arithmetic():
+    """Affine data reads at several offsets plus direct loop-variable
+    arithmetic in the body."""
+    src = """
+    data { int<lower=1> T; real y[T]; real phi; }
+    parameters { real a; }
+    model {
+      vector[T] e;
+      real acc;
+      acc = 0;
+      e[1] = y[1];
+      for (t in 2:T-1) {
+        e[t] = y[t+1] - a * y[t-1] - 0.5 * e[t-1];
+        acc += e[t] * 0.001 * t;
+      }
+      e[T] = y[T];
+      a ~ normal(0, 1);
+      target += phi * (normal_lpdf(e | 0, 1) + acc);
+    }
+    """
+    data = {"T": 22, "y": np.random.default_rng(3).normal(size=22).tolist()}
+    _assert_models_agree(*_both(src, data), dim=1)
+
+
+def test_nonstreamable_body_falls_back_correctly():
+    """A body outside the streaming idiom (dynamic data index that is not
+    affine in the loop variable) must still produce correct values via the
+    carried-array scan or unrolled fallback."""
+    src = """
+    data { int<lower=1> T; real y[T]; int idx[T]; real phi; }
+    parameters { real a; }
+    model {
+      real acc;
+      acc = 0;
+      for (t in 1:T) { acc += y[idx[t]] * a; }
+      a ~ normal(0, 1);
+      target += phi * normal_lpdf(acc | 0, 10);
+    }
+    """
+    rng = np.random.default_rng(4)
+    t_len = 16
+    data = {
+        "T": t_len,
+        "y": rng.normal(size=t_len).tolist(),
+        "idx": (rng.permutation(t_len) + 1).tolist(),
+    }
+    _assert_models_agree(*_both(src, data), dim=1)
