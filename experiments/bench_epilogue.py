@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,7 +21,7 @@ import jax
 
 from smcnuts_tpu import SMCConfig, run_smc
 from smcnuts_tpu.models import get_model
-from smcnuts_tpu.utils.timing import fresh_key, materialize
+from smcnuts_tpu.utils.timing import fresh_key, time_materialized
 
 
 def marginal(model, n, k, backend, step_size, repeats=3):
@@ -33,13 +32,9 @@ def marginal(model, n, k, backend, step_size, repeats=3):
             nuts_backend=backend,
         )
         f = jax.jit(lambda key: run_smc(model, cfg, key))
-        materialize(f(fresh_key()))  # compile
-        best = float("inf")
-        for _ in range(repeats):
-            key = fresh_key()
-            t0 = time.perf_counter()
-            materialize(f(key))
-            best = min(best, time.perf_counter() - t0)
+        best, _ = time_materialized(
+            f, lambda: (fresh_key(),), repeats=repeats
+        )
         return best
 
     t1 = timed(k)

@@ -92,7 +92,8 @@ def summarize(model, output_dir, runs):
         }
         all_pass = all_pass and entry["pass"]
         out["strategies"][s] = entry
-    out["pass"] = all_pass
+    # No strategy directories means no evidence — never a vacuous pass.
+    out["pass"] = all_pass and bool(out["strategies"])
     return out
 
 

@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -176,12 +175,18 @@ def main(argv=None):
         for i in range(args.runs):
             seed = args.seed0 * (i + 1)
             for name in args.strategies:
-                # Per-run wall includes the ~25 ms relay round trip; timed to
-                # host materialization (block_until_ready is a no-op on this
-                # transport). Use --vmap-runs for chip-throughput numbers.
-                t0 = time.time()
+                # Results come from the canonical reproducible seed; the
+                # TIMED dispatch uses a fresh os.urandom key — the canonical
+                # (program, key) pair may already sit in the relay
+                # memo-cache from an earlier process, which would make its
+                # wall time fiction (utils/timing.py). Per-run wall still
+                # includes the relay round trip; use --vmap-runs for
+                # chip-throughput numbers.
                 result = materialize(fns[name](jax.random.key(seed)))
-                dt = time.time() - t0
+                dt, _ = time_materialized(
+                    fns[name], lambda: (fresh_keys(1)[0],),
+                    repeats=1, warmup=False,
+                )
                 timings[name].append(dt)
                 save_run_csvs(result, name, i, output_dir)
                 print(f"run {i + 1}/{args.runs} {name}: {dt:.3f}s  "

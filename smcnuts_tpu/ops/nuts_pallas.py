@@ -60,11 +60,8 @@ class TileModel:
     which the per-instance kernel cache below relies on."""
 
     dim: int
-    extra: Sequence[jnp.ndarray]  # data arrays (SMEM scalars by default)
+    extra: Sequence[jnp.ndarray]  # data arrays, passed through SMEM
     tile_fn: Callable  # (extra_refs, x_tiles list[D], phi) -> (logp, grads)
-    # Per-extra memory space: "smem" (scalar loads; default) or "vmem"
-    # (whole-array vector loads).
-    extra_spaces: Sequence[str] | None = None
 
 
 def _popcount_scalar(v, bits=13):
@@ -430,16 +427,7 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
             tile_spec,  # r
             *[
                 pl.BlockSpec(memory_space=pltpu.SMEM)
-                if space == "smem"
-                # Whole-array VMEM block, same for every grid step.
-                else pl.BlockSpec(
-                    jnp.shape(arr), lambda i, _nd=jnp.ndim(arr): (0,) * _nd
-                )
-                for arr, space in zip(
-                    tile_model.extra,
-                    tile_model.extra_spaces
-                    or ("smem",) * len(tile_model.extra),
-                )
+                for _ in tile_model.extra
             ],
         ],
         out_specs=[

@@ -572,23 +572,28 @@ class SMCSampler:
             momentum_proposal=self._momentum_proposal,
             mesh=self.mesh,
         )
+        # Import tqdm in its own try block: an ImportError raised while the
+        # run itself traces (models import scipy/pallas lazily) must not be
+        # mistaken for missing tqdm and re-execute the whole run.
         try:
             from tqdm import tqdm
-
-            bar = tqdm(total=self.cfg.n_iterations, desc="SMC", unit="it")
-
-            def progress(k_done, total):
-                bar.n = k_done
-                bar.refresh()
-
-            try:
-                return runner.run(key, progress=progress)
-            finally:
-                bar.close()
         except ImportError:
+            tqdm = None
+        if tqdm is None:
             import sys
 
             def progress(k_done, total):
                 print(f"SMC iteration {k_done}/{total}", file=sys.stderr)
 
             return runner.run(key, progress=progress)
+
+        bar = tqdm(total=self.cfg.n_iterations, desc="SMC", unit="it")
+
+        def progress(k_done, total):
+            bar.n = k_done
+            bar.refresh()
+
+        try:
+            return runner.run(key, progress=progress)
+        finally:
+            bar.close()

@@ -34,15 +34,19 @@ Semantics:
 Loop compilation: short `for` loops are unrolled in Python (bounds are
 data-derived ints; data indexing folds to constants — ideal for XLA), but a
 loop of `scan_threshold` (default 64) or more iterations is LOWERED TO
-`lax.scan`: the variables its body assigns become the scan carry, reads and
-writes indexed by the loop variable become dynamic gathers / scatters, and
-`target +=` accumulates through the carry. A T-step recurrence then traces
-as one scan instead of T unrolled steps — compile time O(1) in T, which is
-what makes frontend-compiled models usable on the remote TPU compiler (an
-unrolled arma T=200 recurrence is a compile-time bomb there). Lowering is
-best-effort: any body the scan path cannot express (container declarations,
-parameter-dependent `if`, loop-variable-dependent inner bounds) silently
-falls back to the unrolled form, which is always semantically correct.
+`lax.scan`, preferring the STREAMING form: container writes at the loop
+index become stacked scan outputs, lagged reads `C[t-k]` become a small
+carried window, affine data reads `A[t+c]` become pre-sliced scan xs, and
+`target +=` accumulates through the carry — pure dataflow with no dynamic
+indexing, bit-identical to the unrolled interpretation. Bodies outside that
+idiom use a carried-array scan (dynamic slices/updates), and anything the
+scan paths cannot express (container declarations in the body,
+parameter-dependent `if`, loop-variable-dependent inner bounds) falls back
+to full unrolling, which is always semantically correct. A T-step
+recurrence then traces as one scan instead of T unrolled steps — compile
+time O(1) in T, which is what makes frontend-compiled models usable on the
+remote TPU compiler (an unrolled arma T=200 recurrence is a compile-time
+bomb there).
 """
 
 from __future__ import annotations
@@ -121,7 +125,7 @@ class _LocalArray:
     def as_array(self):
         return _stack_nested(self.data)
 
-    def as_array_filled(self, fill=float("nan"), fill_scalar=None):
+    def as_array_filled(self, fill=float("nan")):
         """Like as_array, but uninitialized elements become `fill` (NaN —
         Stan's own value for undefined reals) instead of raising. Used when
         a container becomes a lax.scan carry, where a read-before-write then
@@ -130,12 +134,7 @@ class _LocalArray:
         Mostly-uninitialized containers (the common pre-recurrence shape:
         a handful of seed elements set before a long scanned loop) lower to
         one fill plus a few scatters rather than a T-element stack — keeping
-        the traced program O(1) in the container length.
-
-        `fill_scalar`, if given, is a prebuilt (possibly traced) scalar used
-        as the fill — the Pallas-kernel mode passes an anchor-derived NaN so
-        no concrete array constant is ever created (pallas_call rejects
-        captured constants)."""
+        the traced program O(1) in the container length."""
         sets = []
         complete = True
 
@@ -153,10 +152,7 @@ class _LocalArray:
         if complete:
             return _stack_nested(self.data)
         if len(sets) <= 32:
-            if fill_scalar is None:
-                arr = jnp.full(self.dims, fill, dtype=float)
-            else:
-                arr = jnp.broadcast_to(fill_scalar, self.dims)
+            arr = jnp.full(self.dims, fill, dtype=float)
             for idx, val in sets:
                 arr = arr.at[idx].set(val)
             return arr
@@ -165,13 +161,8 @@ class _LocalArray:
             if isinstance(node, list):
                 return jnp.stack([conv(x) for x in node])
             if node is None:
-                return (
-                    jnp.asarray(fill, dtype=float)
-                    if fill_scalar is None else fill_scalar
-                )
-            return node if fill_scalar is not None else jnp.asarray(
-                node, dtype=float
-            )
+                return jnp.asarray(fill, dtype=float)
+            return jnp.asarray(node, dtype=float)
 
         return conv(self.data)
 
@@ -310,30 +301,17 @@ def _walk_writes(stmts, assigned, declared):
 
 
 class _Interp:
-    def __init__(self, env, scan_threshold=None, rng_key=None, anchor=None):
+    def __init__(self, env, scan_threshold=None, rng_key=None):
         self.env = env  # name -> value
         self.target = jnp.asarray(0.0, dtype=float)
         # Loops with at least this many iterations are lowered to lax.scan
         # (None = always unroll; used for data/transformed-data evaluation,
-        # which must stay concrete).
+        # which must stay concrete, and for Pallas tile bodies, where scalar
+        # data reads must inline as literals).
         self.scan_threshold = scan_threshold
         # Fixed RNG for *_rng calls (generated quantities); None elsewhere.
         self.rng_key = rng_key
         self._rng_count = 0
-        # Pallas-kernel mode: a traced (unbatched) scalar used to construct
-        # every array the scan lowering would otherwise create as a concrete
-        # constant (scan inits, loop counters) — pallas_call rejects
-        # captured non-scalar constants, so inside a kernel they must be
-        # built from traced values (broadcasts of anchor*0).
-        self.anchor = anchor
-
-    def _traced_fill(self, dims, fill):
-        """A `dims`-shaped array of `fill`, traced off the anchor (kernel
-        mode) or concrete (otherwise)."""
-        if self.anchor is None:
-            return jnp.full(dims, fill, dtype=float)
-        z = self.anchor * 0.0 + fill
-        return jnp.broadcast_to(z, dims) if dims else z
 
     # -- expressions --
     def ev(self, node):
@@ -708,25 +686,27 @@ class _Interp:
             s, set(stream_names), array_names
         )
 
-        anchor = self.anchor
-        nan_scalar = self._traced_fill((), float("nan"))
+        nan_scalar = jnp.asarray(float("nan"), dtype=float)
 
         def elem(v):
             """One container element as a (possibly traced) scalar value."""
             if v is None:
                 return nan_scalar
-            if anchor is not None and not isinstance(v, jax.core.Tracer):
-                return self._traced_fill((), float(np.asarray(v)))
-            return jnp.asarray(v, dtype=float) if not isinstance(
-                v, jax.core.Tracer
-            ) else v
+            return v if isinstance(v, jax.core.Tracer) else jnp.asarray(
+                v, dtype=float
+            )
 
-        # Carried window: C[lo-k] for every read lag k (1-based indices).
+        # Carried window: C[lo-k] for EVERY lag 1..max(read lags) — the
+        # window shifts by one each step, so intermediate lags must ride the
+        # carry even when never read (reading only {1,3} still needs slot 2
+        # to hand last step's slot-1 value down to slot 3 two steps later).
         windows = {}
         for n in stream_names:
-            lags = sorted(k for k in creads.get(n, set()) if k >= 1)
+            max_lag = max(
+                (k for k in creads.get(n, set()) if k >= 1), default=0
+            )
             vals = {}
-            for k in lags:
+            for k in range(1, max_lag + 1):
                 if lo - k < 1:
                     raise _ScanLoweringError(
                         f"{n}[t-{k}] out of bounds at the first iteration"
@@ -747,35 +727,18 @@ class _Interp:
                     raise _ScanLoweringError(
                         f"{name}[t{off:+d}] out of bounds"
                     )
-                sl = arr[a0:a1]
-                if anchor is not None and not isinstance(
-                    sl, jax.core.Tracer
-                ):
-                    raise _ScanLoweringError(
-                        "concrete data slice in kernel mode"
-                    )
                 xs_keys.append((name, off))
-                xs_arrays.append(jnp.asarray(sl, dtype=float))
+                xs_arrays.append(jnp.asarray(arr[a0:a1], dtype=float))
 
         def scalar_init(v):
-            if v is None:
-                return nan_scalar
-            if anchor is not None and not isinstance(v, jax.core.Tracer):
-                a = np.asarray(v)
-                if a.ndim:
-                    raise _ScanLoweringError("array-valued scalar carry")
-                return self._traced_fill((), float(a))
-            return jnp.asarray(v)
+            return nan_scalar if v is None else jnp.asarray(v)
 
         scalar_init_vals = tuple(scalar_init(env[n]) for n in scalar_names)
         window_init = tuple(
             tuple(windows[n][k] for k in sorted(windows[n]))
             for n in stream_names
         )
-        if anchor is not None:
-            i0 = (anchor * 0.0).astype(jnp.int32) + lo
-        else:
-            i0 = jnp.asarray(lo, jnp.int32)
+        i0 = jnp.asarray(lo, jnp.int32)
         outer_env = self.env
         rng_key = self.rng_key
         rng_base = self._rng_count
@@ -797,7 +760,7 @@ class _Interp:
                     jax.random.fold_in(rng_key, 1_000_003 + rng_base), i
                 )
             interp = _ScanInterp(
-                benv, rng_key=body_key, anchor=anchor,
+                benv, rng_key=body_key,
                 streams=streams, xs_vals=xs_vals, loopvar=s.var,
             )
             interp.run(s.body)
@@ -825,7 +788,7 @@ class _Interp:
 
         (final_scalars, _, tgt, _), ys_out = jax.lax.scan(
             body,
-            (scalar_init_vals, window_init, self._traced_fill((), 0.0), i0),
+            (scalar_init_vals, window_init, jnp.asarray(0.0, dtype=float), i0),
             tuple(xs_arrays),
             length=length,
         )
@@ -875,45 +838,24 @@ class _Interp:
             self._run_for_scan_streamed(s, lo, hi, carried, declared)
             return
         except _ScanLoweringError:
-            if self.anchor is not None:
-                # Kernel mode: the carried-array fallback would trace
-                # dynamic slices that batch into gathers/scatters Mosaic
-                # cannot lower — surface the reason instead.
-                raise
+            pass
 
-        anchor = self.anchor
-        nan_scalar = self._traced_fill((), float("nan"))
+        nan_scalar = jnp.asarray(float("nan"), dtype=float)
 
         def materialize(v):
             if v is None:
                 return nan_scalar
             if isinstance(v, _LocalArray):
-                return v.as_array_filled(
-                    fill_scalar=nan_scalar if anchor is not None else None
-                )
-            if anchor is not None and not isinstance(v, jax.core.Tracer):
-                a = np.asarray(v)
-                if a.ndim == 0:
-                    # Rebuild concrete scalars off the anchor so no jnp
-                    # constant is captured by the kernel.
-                    return self._traced_fill((), float(a))
-                raise _ScanLoweringError(
-                    "concrete array carried into a kernel-mode scan"
-                )
+                return v.as_array_filled()
             return jnp.asarray(v)
 
         init_vals = tuple(materialize(self.env[n]) for n in carried)
         outer_env = self.env
         rng_key = self.rng_key
         rng_base = self._rng_count
-        # The loop index rides the carry (an unbatched int when the scan is
-        # traced inside a vmapped kernel body — keeping container reads at
-        # dynamic-slice, not per-lane-gather, strength) instead of an
-        # arange xs, which would be a captured constant in kernel mode.
-        if anchor is not None:
-            i0 = (anchor * 0.0).astype(jnp.int32) + lo
-        else:
-            i0 = jnp.asarray(lo, jnp.int32)
+        # The loop index rides the carry rather than an arange xs (one less
+        # materialized constant; also keeps the index unbatched under vmap).
+        i0 = jnp.asarray(lo, jnp.int32)
 
         def body(carry, _):
             vals, tgt, i = carry
@@ -926,7 +868,7 @@ class _Interp:
                 body_key = jax.random.fold_in(
                     jax.random.fold_in(rng_key, 1_000_003 + rng_base), i
                 )
-            interp = _ScanInterp(env, rng_key=body_key, anchor=anchor)
+            interp = _ScanInterp(env, rng_key=body_key)
             interp.run(s.body)
             new_vals = tuple(
                 jnp.asarray(_as_value(interp.env[n])) for n in carried
@@ -935,7 +877,7 @@ class _Interp:
 
         (final_vals, tgt, _), _ = jax.lax.scan(
             body,
-            (init_vals, self._traced_fill((), 0.0), i0),
+            (init_vals, jnp.asarray(0.0, dtype=float), i0),
             None,
             length=hi - lo + 1,
         )
@@ -954,10 +896,9 @@ class _ScanInterp(_Interp):
     traced inner bounds or traced `if` conditions raise, which aborts the
     enclosing lowering attempt and falls back to full unrolling."""
 
-    def __init__(self, env, rng_key=None, anchor=None, streams=None,
+    def __init__(self, env, rng_key=None, streams=None,
                  xs_vals=None, loopvar=None):
-        super().__init__(env, scan_threshold=None, rng_key=rng_key,
-                         anchor=anchor)
+        super().__init__(env, scan_threshold=None, rng_key=rng_key)
         # Streaming-scan context (see _run_for_scan_streamed): container
         # reads/writes and affine data reads are resolved STRUCTURALLY
         # against the loop variable, never via dynamic indexing.
@@ -1213,16 +1154,13 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             off += s.count
         return env, jac
 
-    def _eval_target(theta, phi, threshold=scan_threshold, env_extra=None,
-                     anchor=None):
+    def _eval_target(theta, phi, threshold=scan_threshold):
         env = dict(data_env)
-        if env_extra:
-            env.update(env_extra)
         penv, jac = _unpack(theta)
         env.update(penv)
         if has_phi:
             env["phi"] = phi
-        interp = _Interp(env, scan_threshold=threshold, anchor=anchor)
+        interp = _Interp(env, scan_threshold=threshold)
         interp.run(tp_block)
         interp.run(model_block)
         return interp.target, jac

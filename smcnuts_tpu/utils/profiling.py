@@ -20,7 +20,12 @@ from .timing import fresh_key, materialize
 
 @contextlib.contextmanager
 def trace(log_dir: str):
-    """Capture a device trace viewable in TensorBoard/XProf."""
+    """Capture a device trace viewable in TensorBoard/XProf.
+
+    Works on directly-attached TPU hosts. On relay-attached chips (the
+    `axon` transport) the profiler service is unreachable and this HANGS —
+    use the marginal-timing tools (experiments/bench_kernel.py /
+    bench_epilogue.py, built on utils/timing) there instead."""
     jax.profiler.start_trace(log_dir)
     try:
         yield

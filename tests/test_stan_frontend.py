@@ -624,3 +624,31 @@ def test_nonstreamable_body_falls_back_correctly():
         "idx": (rng.permutation(t_len) + 1).tolist(),
     }
     _assert_models_agree(*_both(src, data), dim=1)
+
+
+def test_stream_noncontiguous_lags_stay_scanned():
+    """Reads at lags {1,3} only: the window must carry the intermediate
+    lag-2 slot (regression: advancing lag 3 used to KeyError on the missing
+    slot 2 and silently fall back to full unrolling). The jaxpr must contain
+    a scan — proof the streamed path was taken, not the unrolled fallback."""
+    src = """
+    data { int<lower=1> T; real y[T]; real phi; }
+    parameters { real a; real b; }
+    model {
+      vector[T] e;
+      e[1] = y[1];
+      e[2] = y[2];
+      e[3] = y[3];
+      for (t in 4:T) { e[t] = y[t] - a * e[t-1] - b * e[t-3]; }
+      a ~ normal(0, 1);
+      b ~ normal(0, 1);
+      target += phi * normal_lpdf(e | 0, 1);
+    }
+    """
+    data = {"T": 30, "y": np.random.default_rng(6).normal(size=30).tolist()}
+    m_scan, m_unroll = _both(src, data)
+    _assert_models_agree(m_scan, m_unroll, dim=2)
+    jx = jax.make_jaxpr(lambda t: m_scan.logp(t, 1.0))(jnp.zeros(2))
+    assert any(eq.primitive.name == "scan" for eq in jx.eqns), (
+        "streamed lowering silently fell back to unrolling"
+    )
