@@ -52,7 +52,6 @@ def main(argv=None):
         default=[512, 2048, 8192, 32768, 131072],
     )
     p.add_argument("--backends", nargs="+", default=["pallas", "xla"])
-    p.add_argument("--xla-max-n", type=int, default=131072)
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -64,12 +63,10 @@ def main(argv=None):
         ):
             continue
         for n in args.sizes:
-            if backend == "xla" and n > args.xla_max_n:
-                # The vmap-of-while XLA path synchronizes every particle to
-                # the globally deepest tree (~25 s at N=131072) and has
-                # crashed the TPU worker at N=1M; keep the sweep useful.
-                print(f"xla     N={n:7d}: skipped (> --xla-max-n)")
-                continue
+            # The XLA backend's former --xla-max-n crash cap is gone: the
+            # particle axis is now lax.map-chunked into cfg.xla_block_size
+            # blocks (ops/nuts.nuts_batch), bounding both the deepest-tree
+            # stall domain and the live tree state.
             try:
                 rate, best = measure(model, n, args.iterations, backend)
             except Exception as e:  # one bad point must not kill the sweep

@@ -44,6 +44,16 @@ class SMCConfig:
     # ops/nuts_pallas.py; measured 2.5x on arma), or "auto" (pallas when
     # running on TPU and the model provides a tile kernel, xla otherwise).
     nuts_backend: str = "auto"
+    # Lockstep-domain bound for the XLA backend (ops/nuts.nuts_batch): the
+    # particle axis is processed in lax.map-sequenced blocks of this many
+    # particles, so one deep tree stalls a block instead of the whole fleet
+    # and live tree state is O(block). None = one global vmapped while-loop
+    # (the round-2 behavior, pathological above ~10^5 particles). Bit-
+    # identical trajectories for any value (float summary stats may differ
+    # at the ulp level). Ignored by the Pallas backend (its
+    # kernel blocks are already 1024 lanes) and under a particle mesh (the
+    # per-device shard is the lockstep bound there).
+    xla_block_size: int | None = 4096
 
     def __post_init__(self):
         if self.n_particles < 1:
@@ -66,6 +76,11 @@ class SMCConfig:
         if self.nuts_backend not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"Unknown nuts_backend '{self.nuts_backend}'"
+            )
+        if self.xla_block_size is not None and self.xla_block_size < 1:
+            raise ValueError(
+                f"xla_block_size must be >= 1 or None, got "
+                f"{self.xla_block_size}"
             )
         if not 0.0 < self.adapt_warmup_frac <= 1.0:
             raise ValueError(

@@ -296,16 +296,53 @@ def nuts_single(logp_vg, x0, r0, key, step_size, inv_mass=None, max_depth=MAX_TR
     return final.x_prop, final.r_prop, stats
 
 
-def nuts_batch(logp_vg, x, r, keys, step_size, inv_mass=None, max_depth=MAX_TREE_DEPTH):
+def nuts_batch(logp_vg, x, r, keys, step_size, inv_mass=None,
+               max_depth=MAX_TREE_DEPTH, block_size=None):
     """Vmapped NUTS over the particle axis (replaces reference nuts.py:50-53).
 
-    x, r: (N, D); keys: (N,) PRNG keys. All particles advance in lockstep; each
-    inner-loop trip is one batched leapfrog for the whole block.
+    x, r: (N, D); keys: (N,) PRNG keys. All particles in a block advance in
+    lockstep; each inner-loop trip is one batched leapfrog for the block.
+
+    `block_size` bounds the lockstep domain: with `None` the whole particle
+    axis is one vmapped while-loop, so a SINGLE deep tree stalls every
+    particle (measured pathological at large N: 338k p-i/s at N=8192
+    degrading to 104k at N=131072, worker crash at N=1M from the
+    N x (max_depth+1) x D checkpoint live set). With a block size, particles
+    are processed in `lax.map`-sequenced blocks of that many: one deep tree
+    stalls only its block, and live memory is O(block) — the same lockstep
+    granularity the Pallas kernel gets from its 1024-lane blocks
+    (ops/nuts_pallas.py). Trajectories (x', r') are bit-identical for any
+    block size (each particle's path depends only on its own key); float
+    summary stats can differ at the ulp level because XLA fuses their
+    reductions differently under lax.map.
     """
     f = lambda xi, ri, ki: nuts_single(
         logp_vg, xi, ri, ki, step_size, inv_mass=inv_mass, max_depth=max_depth
     )
-    return jax.vmap(f)(x, r, keys)
+    n = x.shape[0]
+    if block_size is None or n <= block_size:
+        return jax.vmap(f)(x, r, keys)
+    nblk = -(-n // block_size)
+    pad = nblk * block_size - n
+
+    def to_blocks(a):
+        if pad:
+            # pad < block_size < n here, so reusing a leading slice is always
+            # enough (repeat/broadcast are unimplemented for typed PRNG-key
+            # arrays). Padding lanes burn block-bounded throwaway work; their
+            # outputs are sliced off below.
+            a = jnp.concatenate([a, a[:pad]], axis=0)
+        return a.reshape((nblk, block_size) + a.shape[1:])
+
+    x1, r1, stats = lax.map(
+        lambda t: jax.vmap(f)(*t),
+        (to_blocks(x), to_blocks(r), to_blocks(keys)),
+    )
+
+    def unblock(a):
+        return a.reshape((nblk * block_size,) + a.shape[2:])[:n]
+
+    return unblock(x1), unblock(r1), {k: unblock(v) for k, v in stats.items()}
 
 
 def hmc_accept_reject_cached(logp0, logp_prime, x, x_prime, r, r_prime, key,

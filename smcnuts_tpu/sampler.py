@@ -201,9 +201,14 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                     lambda t: model.logp(t, phi)
                 )(theta)
             nuts_keys = jax.random.split(k_nuts, n)
+            # Under a particle mesh the per-device shard already bounds the
+            # lockstep domain; block-chunking a sharded axis would force
+            # GSPMD resharding around the reshape.
+            block = cfg.xla_block_size if mesh is None else None
             x_new, r_new, tree_stats = nuts_batch(
                 logp_vg, x_r, r, nuts_keys, carry.step_size,
                 inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
+                block_size=block,
             )
 
         logp_new_phi = tree_stats["logp_prop"]

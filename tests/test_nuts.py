@@ -218,6 +218,39 @@ class TestNUTSInvariance:
         x1, _, stats = nuts_batch(narrow_vg, x0, r0, keys, 10.0)
         assert np.all(np.isfinite(np.asarray(x1)))
 
+    def test_block_chunking_bit_identical(self):
+        """`block_size` only bounds the lockstep domain (ops/nuts.nuts_batch):
+        trajectories must be bit-identical to the unchunked path for any
+        block size, including one that does not divide N (padding). Float
+        summary stats (accept_stat, logp_prop) may differ at the ulp level
+        because XLA fuses their reductions differently under lax.map."""
+        n, d = 100, 3
+        kx, kr, kn = jax.random.split(jax.random.key(13), 3)
+        x0 = jax.random.normal(kx, (n, d))
+        r0 = jax.random.normal(kr, (n, d))
+        keys = jax.random.split(kn, n)
+        ref = nuts_batch(_std_normal_vg, x0, r0, keys, 0.3, max_depth=5)
+        for block in (32, 64, 100, 4096):
+            got = nuts_batch(
+                _std_normal_vg, x0, r0, keys, 0.3, max_depth=5,
+                block_size=block,
+            )
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+            for name in ref[2]:
+                want = np.asarray(ref[2][name])
+                have = np.asarray(got[2][name])
+                if np.issubdtype(want.dtype, np.floating):
+                    np.testing.assert_allclose(
+                        have, want, rtol=3e-6, atol=3e-6,
+                        err_msg=f"stats[{name}] differs at block={block}",
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        have, want,
+                        err_msg=f"stats[{name}] differs at block={block}",
+                    )
+
     def test_max_depth_respected(self):
         n, d = 8, 2
         x0 = jax.random.normal(jax.random.key(5), (n, d))
