@@ -54,6 +54,16 @@ class SMCConfig:
     # kernel blocks are already 1024 lanes) and under a particle mesh (the
     # per-device shard is the lockstep bound there).
     xla_block_size: int | None = 4096
+    # Guard for the tree-cache log-likelihood recovery
+    # loglik = (logp(x, phi) - logprior(x)) / phi (sampler._recover_loglik):
+    # the division amplifies the f32 rounding of the cached log-density by
+    # 1/phi, so below this temperature the sampler re-evaluates loglik_batch
+    # directly (a lax.cond — only the taken branch runs, so iterations with
+    # phi >= the threshold pay nothing). 0.0 disables the guard (round-2
+    # behavior). Only relevant with tempering; a peaked likelihood drives
+    # phi_0 to ~1e-4 where the amplified error would otherwise enter the
+    # phi=1 reweights unscaled.
+    cached_loglik_min_phi: float = 1e-2
 
     def __post_init__(self):
         if self.n_particles < 1:
@@ -81,6 +91,11 @@ class SMCConfig:
             raise ValueError(
                 f"xla_block_size must be >= 1 or None, got "
                 f"{self.xla_block_size}"
+            )
+        if not 0.0 <= self.cached_loglik_min_phi < 1.0:
+            raise ValueError(
+                "cached_loglik_min_phi must be in [0, 1), got "
+                f"{self.cached_loglik_min_phi}"
             )
         if not 0.0 < self.adapt_warmup_frac <= 1.0:
             raise ValueError(

@@ -90,6 +90,30 @@ class SMCResult(NamedTuple):
     accept_stat: jax.Array | None = None  # (K+1,) mean per-leaf MH ratio
 
 
+def _recover_loglik(model, phi, logp_at_phi, positions, min_phi):
+    """Recover the untempered log-likelihood from a tree-cached tempered
+    log-density via the identity loglik = (logp(x, phi) - logprior(x)) / phi
+    (valid because phi > 0 always; see _make_step).
+
+    The division amplifies the float32 rounding error of the cached
+    `logp_at_phi` by 1/phi — at the phi ~ 3e-3 first tempered iteration seen
+    in practice that is ~300x, and a more peaked likelihood gives a smaller
+    phi and worse error, which then enters the phi=1 reweights unscaled.
+    Below `min_phi` the recovery therefore falls back to a direct
+    `loglik_batch` evaluation. `lax.cond` inside the (un-vmapped) scan body
+    executes only ONE branch at runtime on TPU, so the direct evaluation
+    costs nothing on the iterations where phi >= min_phi.
+    """
+    cached = (logp_at_phi - model.logprior_batch(positions)) / phi
+    if min_phi <= 0.0:
+        return cached
+    return jax.lax.cond(
+        phi < min_phi,
+        lambda: model.loglik_batch(positions).astype(cached.dtype),
+        lambda: cached,
+    )
+
+
 def _acceptance_metric(x_new, x_old):
     """Fraction of particles whose position changed in EVERY dimension
     (reference smc_sampler.py:97)."""
@@ -229,9 +253,14 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         # tree-cached log-densities with only an O(D) logprior evaluation —
         # no full model re-evaluation anywhere in the iteration body. Valid
         # because phi > 0 always: tempering starts from a bisection result in
-        # (0, 1], and the non-tempered path runs at phi = 1.
+        # (0, 1], and the non-tempered path runs at phi = 1. Below
+        # cfg.cached_loglik_min_phi the 1/phi error amplification makes the
+        # cache unusable and _recover_loglik re-evaluates directly.
         def cached_loglik(logp_at_phi, positions):
-            return (logp_at_phi - model.logprior_batch(positions)) / phi
+            return _recover_loglik(
+                model, phi, logp_at_phi, positions,
+                cfg.cached_loglik_min_phi,
+            )
 
         # 7: next temperature from the proposed positions.
         if cfg.tempering or cfg.is_asymptotic:
