@@ -26,8 +26,10 @@ class SMCConfig:
     max_tree_depth: int = 10  # doublings 0..max_depth (reference nuts.py:4)
     ess_threshold_frac: float = 0.5  # resample when ESS < N/2 (samples.py:120)
     tempering_alpha: float = 0.5  # ESS target fraction (samples.py:52)
-    save_history: bool = True  # keep x/logw per iteration (needed for the
-    # asymptotic post-pass estimator; disable for large-N memory savings)
+    save_history: bool = True  # keep x/logw per iteration. With the
+    # asymptotic strategy, save_history=False switches the tempered-recycling
+    # estimator to its streaming in-scan form (identical estimates, O(N*D)
+    # memory instead of (K+1)*N*D — usable at N=1M).
     adapt_step_size: bool = False  # dual-averaging step-size adaptation
     adapt_mass_matrix: bool = False  # diagonal mass matrix from particle var
     target_accept: float = 0.8  # dual-averaging target acceptance
@@ -101,11 +103,6 @@ class SMCConfig:
             raise ValueError(
                 "adapt_warmup_frac must be in (0, 1], got "
                 f"{self.adapt_warmup_frac}"
-            )
-        if self.lkernel == "asymptoticLKernel" and not self.save_history:
-            raise ValueError(
-                "asymptoticLKernel requires save_history=True (the tempered "
-                "post-pass estimator re-reads the full particle history)"
             )
 
     @property

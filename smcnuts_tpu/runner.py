@@ -39,8 +39,13 @@ class ChunkedRunner:
         step = _make_step(model, cfg, self.momentum_proposal, mesh=mesh)
 
         @partial(jax.jit, static_argnames=("length",))
-        def chunk(carry, length):
-            return jax.lax.scan(step, carry, None, length=length)
+        def chunk(carry, k_start, length):
+            # Absolute iteration indices: the streaming tempered-recycling
+            # estimator keys itself by fold_in(k_post, k), so a resumed chunk
+            # must see the same k as the monolithic scan.
+            return jax.lax.scan(
+                step, carry, k_start + jax.numpy.arange(length)
+            )
 
         self._chunk = chunk
         self._init = jax.jit(
@@ -73,7 +78,7 @@ class ChunkedRunner:
 
         while k_done < cfg.n_iterations:
             length = min(self.chunk_size, cfg.n_iterations - k_done)
-            carry, outs = self._chunk(carry, length)
+            carry, outs = self._chunk(carry, k_done, length)
             outs = jax.tree.map(np.asarray, outs)
             for name, arr in outs.items():
                 diags.setdefault(name, []).append(arr)

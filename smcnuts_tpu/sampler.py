@@ -65,6 +65,13 @@ class SMCCarry(NamedTuple):
     inv_mass: jax.Array  # (D,) diagonal inverse mass
     da: tuple  # dual-averaging state
     key: jax.Array
+    # Streaming tempered-recycling state (asymptotic strategy with
+    # save_history=False): untempered loglik of the current positions and the
+    # post-pass key base, both None otherwise. Carrying these lets the per-k
+    # recycled estimate run INSIDE the scan in O(N*D) memory instead of
+    # gathering the (K+1, N, D) history afterwards.
+    loglik: jax.Array | None = None
+    rec_key: jax.Array | None = None
 
 
 class SMCResult(NamedTuple):
@@ -121,16 +128,44 @@ def _acceptance_metric(x_new, x_old):
     return jnp.mean(changed.astype(x_new.dtype))
 
 
+def _recycled_estimate(model, rec_key, x, logw, loglik, phi_k):
+    """One tempered-recycling estimate (reference
+    estimate_from_tempered.py:24-55): fresh multinomial resample by the
+    weights targeting pi_{phi_k}, then importance-correct to pi via
+    (1 - phi_k) * loglik. Shared by the saved-history post-pass and the
+    in-scan streaming path so the two are key-for-key identical."""
+    wn, _ = normalise_weights(logw)
+    ancestors = multinomial_ancestors(rec_key, wn)
+    x_r = jnp.take(x, ancestors, axis=0)
+    logw_corr = (1.0 - phi_k) * jnp.take(loglik, ancestors)
+    wn_corr, _ = normalise_weights(logw_corr)
+    return constrained_estimate(model, x_r, wn_corr)
+
+
 def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
     n = cfg.n_particles
+    # Asymptotic strategy without saved history: the tempered-recycling
+    # estimator streams inside the scan (per-k estimates computed from the
+    # entering state) instead of re-reading the (K+1, N, D) history in
+    # finalize — same math, same keys, O(N*D) memory.
+    streaming_recycle = cfg.is_asymptotic and not cfg.save_history
 
-    def step(carry: SMCCarry, _):
+    def step(carry: SMCCarry, k_it):
         key, k_res, k_mom, k_nuts, k_acc = jax.random.split(carry.key, 5)
         phi = carry.phi
 
         # 2-4: normalise, estimate, ESS (entering weights).
         wn, log_likelihood = normalise_weights(carry.logw)
-        mean_k, var_k = constrained_estimate(model, carry.x, wn)
+        if streaming_recycle:
+            # The entering (x, logw, loglik, phi) at iteration k is exactly
+            # the post-pass's (x_saved[k], logw_saved[k], loglik_saved[k],
+            # phi[k]); fold_in(k_post, k) matches its key derivation.
+            mean_k, var_k = _recycled_estimate(
+                model, jax.random.fold_in(carry.rec_key, k_it),
+                carry.x, carry.logw, carry.loglik, phi,
+            )
+        else:
+            mean_k, var_k = constrained_estimate(model, carry.x, wn)
         ess_k = compute_ess(wn)
 
         # 5: threshold-triggered resampling, before the proposal.
@@ -365,14 +400,21 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 # over the whole K x N history.
                 out["loglik_hist"] = loglik_new
 
+        loglik_carry = rec_key_carry = None
+        if streaming_recycle:
+            loglik_carry = loglik_new
+            rec_key_carry = carry.rec_key
         if mesh is not None:
             from .parallel.sharding import constrain_particles
 
             x_new = constrain_particles(x_new, mesh)
             logw_new = constrain_particles(logw_new, mesh)
+            if loglik_carry is not None:
+                loglik_carry = constrain_particles(loglik_carry, mesh)
         new_carry = SMCCarry(
             x=x_new, logw=logw_new, phi=phi_next,
             step_size=step_size, inv_mass=inv_mass, da=da, key=key,
+            loglik=loglik_carry, rec_key=rec_key_carry,
         )
         return new_carry, out
 
@@ -387,18 +429,18 @@ def _estimate_from_tempered(model: Model, cfg: SMCConfig, key, x_saved,
     importance-correct from pi_{phi_k} to pi via (1 - phi_k) * loglik. The
     loglik values were saved during the scan, so the correction is a gather,
     not K+1 model sweeps (the reference reloads the Stan model 2(K+1) times
-    here, estimate_from_tempered.py:47)."""
-    keys = jax.random.split(key, phi.shape[0])
+    here, estimate_from_tempered.py:47).
 
-    def one(k_key, x_k, logw_k, loglik_k, phi_k):
-        wn, _ = normalise_weights(logw_k)
-        ancestors = multinomial_ancestors(k_key, wn)
-        x = jnp.take(x_k, ancestors, axis=0)
-        logw_corr = (1.0 - phi_k) * jnp.take(loglik_k, ancestors)
-        wn_corr, _ = normalise_weights(logw_corr)
-        return constrained_estimate(model, x, wn_corr)
+    Keys are fold_in(key, k) so the streaming in-scan variant
+    (save_history=False, see _make_step) produces identical estimates."""
+    ks = jnp.arange(phi.shape[0])
 
-    return jax.vmap(one)(keys, x_saved, logw_saved, loglik_saved, phi)
+    def one(k, x_k, logw_k, loglik_k, phi_k):
+        return _recycled_estimate(
+            model, jax.random.fold_in(key, k), x_k, logw_k, loglik_k, phi_k
+        )
+
+    return jax.vmap(one)(ks, x_saved, logw_saved, loglik_saved, phi)
 
 
 def init_state(model: Model, cfg: SMCConfig, key, sample_proposal=None,
@@ -436,6 +478,10 @@ def init_state(model: Model, cfg: SMCConfig, key, sample_proposal=None,
         cfg.step_size if initial_step_size is None else initial_step_size,
         dtype,
     )
+    loglik0 = rec_key0 = None
+    if cfg.is_asymptotic and not cfg.save_history:
+        loglik0 = model.loglik_batch(x0)
+        rec_key0 = k_post
     carry0 = SMCCarry(
         x=x0,
         logw=logw0.astype(dtype),
@@ -444,6 +490,8 @@ def init_state(model: Model, cfg: SMCConfig, key, sample_proposal=None,
         inv_mass=jnp.ones((model.dim,), dtype),
         da=da_init(step_size0, dtype),
         key=key,
+        loglik=loglik0,
+        rec_key=rec_key0,
     )
     return carry0, k_post
 
@@ -479,12 +527,25 @@ def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
         logw_saved = jnp.concatenate([logw0[None], outs["logw_hist"]], axis=0)
 
     if cfg.is_asymptotic:
-        loglik_saved = jnp.concatenate(
-            [model.loglik_batch(x0)[None], outs["loglik_hist"]], axis=0
-        )
-        mean_est, var_est = _estimate_from_tempered(
-            model, cfg, k_post, x_saved, logw_saved, loglik_saved, phi_series
-        )
+        if cfg.save_history:
+            loglik_saved = jnp.concatenate(
+                [model.loglik_batch(x0)[None], outs["loglik_hist"]], axis=0
+            )
+            mean_est, var_est = _estimate_from_tempered(
+                model, cfg, k_post, x_saved, logw_saved, loglik_saved,
+                phi_series,
+            )
+        else:
+            # Streaming variant: indices 0..K-1 were recycled inside the
+            # scan (they ARE outs["mean"]/outs["var"]); only index K — the
+            # final state — is recycled here. carry.loglik is loglik(carry.x)
+            # maintained by the scan, so no history gather is needed.
+            mean_f_rec, var_f_rec = _recycled_estimate(
+                model, jax.random.fold_in(k_post, cfg.n_iterations),
+                carry.x, carry.logw, carry.loglik, carry.phi,
+            )
+            mean_est = cat(outs["mean"], mean_f_rec)
+            var_est = cat(outs["var"], var_f_rec)
 
     return SMCResult(
         mean_estimate=mean_est,
@@ -519,7 +580,9 @@ def run_smc(model: Model, cfg: SMCConfig, key, sample_proposal=None,
         initial_step_size=initial_step_size, mesh=mesh,
     )
     step = _make_step(model, cfg, momentum_proposal, mesh=mesh)
-    carry, outs = jax.lax.scan(step, carry0, None, length=cfg.n_iterations)
+    carry, outs = jax.lax.scan(
+        step, carry0, jnp.arange(cfg.n_iterations)
+    )
     return finalize(model, cfg, carry, outs, carry0.x, carry0.logw, k_post)
 
 

@@ -109,12 +109,33 @@ def test_save_history_off():
     assert res.x_saved is None and res.logw_saved is None
 
 
-def test_asymptotic_requires_history():
-    with pytest.raises(ValueError):
-        SMCConfig(
-            n_particles=8, n_iterations=2, step_size=0.5,
-            lkernel="asymptoticLKernel", save_history=False,
-        )
+def test_asymptotic_streaming_equals_postpass():
+    """With save_history=False the asymptotic strategy streams the
+    tempered-recycling estimator inside the scan (O(N*D) memory); estimates
+    must match the saved-history post-pass key-for-key (both derive the per-k
+    resample key as fold_in(k_post, k))."""
+    res_post, _ = _run("asymptoticLKernel", True, n=128, k=8, seed=3)
+    res_stream, _ = _run(
+        "asymptoticLKernel", True, n=128, k=8, seed=3, save_history=False
+    )
+    assert res_stream.x_saved is None and res_stream.logw_saved is None
+    # Same inputs + same keys; only the vmapped-vs-sequential compilation
+    # differs, so allow ulp-level reduction reordering.
+    np.testing.assert_allclose(
+        np.asarray(res_stream.mean_estimate),
+        np.asarray(res_post.mean_estimate), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_stream.variance_estimate),
+        np.asarray(res_post.variance_estimate), rtol=1e-5, atol=1e-5,
+    )
+    # Everything outside the estimator is untouched by the mode switch.
+    np.testing.assert_array_equal(
+        np.asarray(res_stream.phi), np.asarray(res_post.phi)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_stream.x_final), np.asarray(res_post.x_final)
+    )
 
 
 def test_unknown_strategy_raises():
