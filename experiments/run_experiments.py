@@ -68,16 +68,26 @@ def main(argv=None):
                    help="run ALL Monte-Carlo runs batched in one device "
                    "dispatch per strategy (jax.vmap over seeds; the NUTS "
                    "kernel collapses the batch into one multi-run launch). "
-                   "Much faster; incompatible with --mesh.")
+                   "Combine with --mesh + --mesh-runs for a 2-D "
+                   "runs x particles mesh.")
     p.add_argument("--shard-runs", action="store_true",
                    help="with --vmap-runs: additionally shard the run batch "
                    "over all local devices ('runs' mesh; linear scale-out, "
                    "no cross-device communication)")
+    p.add_argument("--mesh-runs", type=int, default=None,
+                   help="with --vmap-runs --mesh: devices on the 'runs' axis "
+                   "of a 2-D (runs, particles) mesh; the remaining factor "
+                   "shards each run's particle axis")
     args = p.parse_args(argv)
-    if args.vmap_runs and args.mesh:
-        p.error("--vmap-runs and --mesh are mutually exclusive")
     if args.shard_runs and not args.vmap_runs:
         p.error("--shard-runs requires --vmap-runs")
+    if args.shard_runs and args.mesh:
+        p.error("--shard-runs and --mesh are mutually exclusive "
+                "(use --mesh --mesh-runs for the 2-D mesh)")
+    if args.vmap_runs and args.mesh and not args.mesh_runs:
+        p.error("--vmap-runs with --mesh needs --mesh-runs (2-D mesh shape)")
+    if args.mesh_runs and not (args.vmap_runs and args.mesh):
+        p.error("--mesh-runs requires --vmap-runs and --mesh")
 
     model = get_model(args.model)
     step_size = args.step_size or default_step_size(args.model)
@@ -91,7 +101,11 @@ def main(argv=None):
     print(f"Devices: {jax.devices()}")
 
     mesh = None
-    if args.mesh:
+    if args.mesh and args.mesh_runs:
+        from smcnuts_tpu.parallel import runs_particles_mesh
+
+        mesh = runs_particles_mesh(args.mesh_runs)
+    elif args.mesh:
         from smcnuts_tpu.parallel import particle_mesh
 
         mesh = particle_mesh()
@@ -138,6 +152,15 @@ def main(argv=None):
 
             def make_batched(fn):
                 return lambda ks: map_runs(fn, ks, rmesh)
+
+        elif mesh is not None and args.mesh_runs:
+            from smcnuts_tpu.parallel import map_runs_2d
+
+            def make_batched(fn):
+                # fn already constrains its particle axis against the 2-D
+                # mesh (run_smc got mesh=); the run axis shards via the key
+                # placement inside map_runs_2d.
+                return lambda ks: map_runs_2d(fn, ks, mesh)
 
         else:
             def make_batched(fn):

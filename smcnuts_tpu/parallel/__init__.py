@@ -1,7 +1,8 @@
 """Device-mesh parallelism: particle axis (collectives) and run axis
 (embarrassingly parallel Monte-Carlo)."""
 
-from .runs import RUN_AXIS, map_runs, run_mesh
+from .runs import (RUN_AXIS, map_runs, map_runs_2d, run_mesh,
+                   runs_particles_mesh)
 from .sharding import (
     PARTICLE_AXIS,
     constrain_particles,
@@ -17,10 +18,12 @@ __all__ = [
     "RUN_AXIS",
     "constrain_particles",
     "map_runs",
+    "map_runs_2d",
     "particle_mesh",
     "particle_sharding",
     "replicated",
     "run_mesh",
+    "runs_particles_mesh",
     "shard_key",
     "weight_sharding",
 ]

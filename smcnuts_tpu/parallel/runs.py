@@ -9,12 +9,24 @@ into a single multi-run launch per iteration — and shard_map'd over a 'runs'
 mesh so every device executes its local batch with NO cross-device
 communication. Scaling is linear by construction; one all-gather materialises
 the results at the end.
+
+Both axes combine on a 2-D ('runs', 'particles') mesh (`runs_particles_mesh`
++ `map_runs_2d`): the run batch spreads over mesh rows while each run's
+particle axis spreads over the columns — pods scale both dimensions at once.
+This path is pure GSPMD: the per-run function's internal
+with_sharding_constraint(P('particles', ...)) annotations batch cleanly under
+vmap, run-sharding propagates from the key placement, and XLA keeps the
+particle collectives (psum for weight normalisation/ESS/tempering, all-gather
+for resampling) within each mesh row.
 """
 
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import PARTICLE_AXIS
 
 RUN_AXIS = "runs"
 
@@ -31,6 +43,48 @@ def run_mesh(devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(devices, (RUN_AXIS,))
+
+
+def runs_particles_mesh(n_run_devices: int, devices=None) -> Mesh:
+    """2-D mesh: `n_run_devices` rows on the 'runs' axis, the rest of each
+    row on 'particles'. Device count must divide evenly."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_run_devices != 0:
+        raise ValueError(
+            f"device count {n} is not a multiple of n_run_devices "
+            f"{n_run_devices}"
+        )
+    grid = np.array(devices).reshape(n_run_devices, n // n_run_devices)
+    return Mesh(grid, (RUN_AXIS, PARTICLE_AXIS))
+
+
+def map_runs_2d(fn_one, keys, mesh: Mesh):
+    """Execute one run of `fn_one(key)` per key over a 2-D
+    ('runs', 'particles') mesh: the R-run batch is sharded over mesh rows and
+    each run's particle axis over the columns. `fn_one` must constrain its
+    particle-major arrays against THIS mesh (pass mesh= to run_smc); the run
+    axis needs no annotation — it propagates from the key placement. R must
+    be a multiple of the run-axis size."""
+    r = keys.shape[0]
+    n_rows = mesh.shape[RUN_AXIS]
+    if r % n_rows != 0:
+        raise ValueError(
+            f"run count {r} must be a multiple of the mesh 'runs' axis "
+            f"size {n_rows}"
+        )
+    per_fn = _JIT_CACHE.get(fn_one)
+    if per_fn is None:
+        per_fn = {}
+        _JIT_CACHE[fn_one] = per_fn
+    cache_key = ("2d", tuple(mesh.devices.flat), mesh.axis_names)
+    f = per_fn.get(cache_key)
+    if f is None:
+        f = jax.jit(jax.vmap(fn_one))
+        per_fn[cache_key] = f
+    keys = jax.device_put(keys, NamedSharding(mesh, P(RUN_AXIS)))
+    return f(keys)
 
 
 def map_runs(fn_one, keys, mesh: Mesh):

@@ -177,3 +177,43 @@ def test_map_runs_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(got_ess), np.asarray(ref_ess), rtol=1e-6, atol=1e-6
     )
+
+
+def test_runs_particles_2d_mesh_matches_unsharded():
+    """2-D (runs, particles) mesh (parallel/runs.py map_runs_2d): the run
+    batch shards over mesh rows while each run's particle axis shards over
+    the columns — per-run results must match plain vmapped runs (same keys,
+    GSPMD must not change semantics), with outputs genuinely run-sharded."""
+    from smcnuts_tpu.parallel import RUN_AXIS, map_runs_2d, runs_particles_mesh
+
+    mesh2d = runs_particles_mesh(2)
+    assert mesh2d.shape[RUN_AXIS] == 2
+    assert mesh2d.shape[PARTICLE_AXIS] == jax.device_count() // 2
+
+    model = make_gaussian(MEAN, VAR)
+    cfg = SMCConfig(
+        n_particles=64, n_iterations=4, step_size=0.5,
+        lkernel="forwardsLKernel", tempering=True, save_history=False,
+    )
+
+    def one_sharded(key):
+        r = run_smc(model, cfg, key, mesh=mesh2d)
+        return r.mean_estimate, r.phi
+
+    def one_plain(key):
+        r = run_smc(model, cfg, key)
+        return r.mean_estimate, r.phi
+
+    keys = jnp.stack([jax.random.key(11 * (i + 1)) for i in range(4)])
+    ref_mean, ref_phi = jax.jit(jax.vmap(one_plain))(keys)
+    got_mean, got_phi = map_runs_2d(one_sharded, keys, mesh2d)
+    # Particle collectives reorder reductions; allow f32 noise only.
+    np.testing.assert_allclose(
+        np.asarray(got_mean), np.asarray(ref_mean), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_phi), np.asarray(ref_phi), rtol=1e-3, atol=1e-3
+    )
+
+    with pytest.raises(ValueError):
+        map_runs_2d(one_sharded, keys[:3], mesh2d)
