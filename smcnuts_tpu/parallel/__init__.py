@@ -1,6 +1,7 @@
 """Device-mesh parallelism: particle axis (collectives) and run axis
 (embarrassingly parallel Monte-Carlo)."""
 
+from .elastic import Supervisor
 from .runs import (RUN_AXIS, map_runs, map_runs_2d, run_mesh,
                    runs_particles_mesh)
 from .sharding import (
@@ -15,6 +16,7 @@ from .sharding import (
 
 __all__ = [
     "PARTICLE_AXIS",
+    "Supervisor",
     "RUN_AXIS",
     "constrain_particles",
     "map_runs",

@@ -22,15 +22,27 @@ CHECKPOINT_VERSION = 1
 
 
 def save_checkpoint(path: str, carry, k_done: int, diagnostics: dict):
-    """Serialize an SMCCarry + completed-iteration count + diagnostics."""
+    """Serialize an SMCCarry + completed-iteration count + diagnostics.
+
+    Multi-process safe: leaves sharded across processes (the particle-major
+    arrays of a jax.distributed run) are gathered with the collective
+    process_allgather — so EVERY process must call this, at the same point —
+    and only process 0 writes the file (shared-filesystem semantics; each
+    host of a pod slice typically sees the same storage)."""
     flat, _ = jax.tree.flatten(carry)
 
     def leaf_np(leaf):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
-            return np.asarray(jax.random.key_data(leaf))
+            leaf = jax.random.key_data(leaf)
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
         return np.asarray(leaf)
 
     payload = {f"carry_{i}": leaf_np(leaf) for i, leaf in enumerate(flat)}
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     payload["version"] = np.int64(CHECKPOINT_VERSION)
     payload["k_done"] = np.int64(k_done)
     for name, arr in diagnostics.items():
@@ -61,6 +73,10 @@ def load_checkpoint(path: str, carry_template):
         arr = jnp.asarray(data[f"carry_{i}"])
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
             arr = jax.random.wrap_key_data(data[f"carry_{i}"])
+        # No explicit resharding: in a multi-process run every process loads
+        # the same full host value, which jit accepts as an implicitly
+        # replicated input and GSPMD reshards to the program's layout
+        # (device_put cannot target non-addressable shardings directly).
         flat.append(arr)
     carry = jax.tree.unflatten(treedef, flat)
     k_done = int(data["k_done"])

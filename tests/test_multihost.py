@@ -13,6 +13,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 _WORKER = r"""
@@ -84,3 +85,96 @@ def test_two_process_distributed_smoke(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out}"
     assert "proc 0/2 OK" in outs[0]
     assert "proc 1/2 OK" in outs[1]
+
+
+_ELASTIC_WORKER = r"""
+import os
+import sys
+import numpy as np
+coordinator, pid, ckpt, marker = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+from smcnuts_tpu.parallel.multihost import initialize
+process_id, process_count = initialize(
+    coordinator_address=coordinator, num_processes=2, process_id=pid
+)
+from smcnuts_tpu import SMCConfig
+from smcnuts_tpu.models import make_gaussian
+from smcnuts_tpu.parallel import particle_mesh
+from smcnuts_tpu.runner import ChunkedRunner
+
+model = make_gaussian(np.array([1.0, -2.0]), np.array([0.5, 2.0]))
+cfg = SMCConfig(n_particles=32, n_iterations=8, step_size=0.5,
+                tempering=True, save_history=False, max_tree_depth=4)
+resumed = os.path.exists(ckpt)
+runner = ChunkedRunner(model, cfg, checkpoint_path=ckpt, chunk_size=2,
+                       mesh=particle_mesh())
+
+def progress(k_done, total):
+    # First incarnation: process 1 dies hard after 2 chunks, AFTER the
+    # checkpoint for k_done=4 is on disk (save precedes progress).
+    if process_id == 1 and k_done == 4 and not os.path.exists(marker):
+        open(marker, "w").write("fault")
+        os._exit(17)
+
+res = runner.run(jax.random.key(0), progress=progress)
+mean = np.asarray(res.mean_estimate)
+assert np.all(np.isfinite(mean))
+print(f"proc {process_id} resumed={resumed} final={mean[-1].tolist()}")
+"""
+
+
+@pytest.mark.slow
+def test_elastic_restart_resumes_from_checkpoint(tmp_path):
+    """Elastic recovery (parallel/elastic.py): kill one process of a
+    2-process jax.distributed gang mid-run; the Supervisor terminates the
+    stalled survivor, relaunches the gang, and the run resumes from the last
+    multi-process checkpoint — final results identical to a fault-free run."""
+    from smcnuts_tpu.parallel.elastic import Supervisor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=repo,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    ckpt = str(tmp_path / "elastic.npz")
+    marker = str(tmp_path / "faulted")
+
+    def make_cmd(pid, coordinator, attempt):
+        return [sys.executable, "-c", _ELASTIC_WORKER, coordinator, str(pid),
+                ckpt, marker]
+
+    sup = Supervisor(make_cmd, n_processes=2, env=env, max_restarts=2,
+                     cwd=repo)
+    inc = sup.run(timeout=540)
+    # Incarnation 1 must have FAILED (proc 1 exits 17; proc 0 terminated),
+    # incarnation 2 must have RESUMED from the checkpoint and succeeded.
+    assert len(sup.incarnations) == 2, [i.returncodes for i in sup.incarnations]
+    assert 17 in sup.incarnations[0].returncodes
+    assert inc.ok
+    assert "resumed=True" in inc.outputs[0], inc.outputs[0]
+    assert os.path.exists(marker)
+
+    # Fault-free gang (marker pre-exists, fresh checkpoint path) for the
+    # ground-truth result: the resumed run must reproduce it.
+    ckpt2 = str(tmp_path / "clean.npz")
+
+    def make_cmd_clean(pid, coordinator, attempt):
+        return [sys.executable, "-c", _ELASTIC_WORKER, coordinator, str(pid),
+                ckpt2, marker]
+
+    clean = Supervisor(make_cmd_clean, n_processes=2, env=env,
+                       max_restarts=0, cwd=repo).run(timeout=540)
+    assert clean.ok
+
+    import re
+
+    def final_of(out):
+        return np.array(eval(re.search(r"final=(\[.*\])", out).group(1)))
+
+    np.testing.assert_allclose(
+        final_of(inc.outputs[0]), final_of(clean.outputs[0]),
+        rtol=1e-6, atol=1e-6,
+    )
