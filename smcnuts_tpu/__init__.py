@@ -10,6 +10,14 @@ ESS-adaptive tempering, and particle-axis sharding over TPU meshes.
 __version__ = "0.1.0"
 
 from .config import SMCConfig
+from .proposals import DiagNormalProposal, FullNormalProposal
 from .sampler import SMCSampler, run_smc
 
-__all__ = ["SMCConfig", "SMCSampler", "run_smc", "__version__"]
+__all__ = [
+    "DiagNormalProposal",
+    "FullNormalProposal",
+    "SMCConfig",
+    "SMCSampler",
+    "run_smc",
+    "__version__",
+]

@@ -50,3 +50,42 @@ class DiagNormalProposal:
         return jnp.sum(-0.5 * z2 - 0.5 * jnp.log(var)[None, :], axis=1) - (
             self.dim * LOG_SQRT_2PI
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class FullNormalProposal:
+    """N(mean, cov) with a dense covariance — the general frozen
+    scipy.stats.multivariate_normal the reference driver accepts for sample
+    and momentum proposals (reference experiments/run_experiments.py:110-111,
+    smcnuts/samples/samples.py:77,85). Sampling is mean + L @ eps with the
+    lower Cholesky factor L; logpdf solves L z = (x - mean) with one batched
+    triangular solve (no explicit inverse)."""
+
+    mean: tuple
+    cov: tuple  # (D, D), symmetric positive definite
+
+    @property
+    def dim(self):
+        return len(self.mean)
+
+    def _params(self, dtype):
+        mean = jnp.asarray(self.mean, dtype)
+        chol = jnp.linalg.cholesky(jnp.asarray(self.cov, dtype))
+        return mean, chol
+
+    def rvs(self, key, n, dtype=jnp.float32):
+        mean, chol = self._params(dtype)
+        eps = jax.random.normal(key, (n, self.dim), dtype=dtype)
+        return mean[None, :] + eps @ chol.T
+
+    def logpdf(self, x):
+        mean, chol = self._params(x.dtype)
+        z = jax.scipy.linalg.solve_triangular(
+            chol, (x - mean[None, :]).T, lower=True
+        )
+        log_det_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
+        return (
+            -0.5 * jnp.sum(z * z, axis=0)
+            - log_det_half
+            - self.dim * LOG_SQRT_2PI
+        )

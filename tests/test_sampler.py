@@ -200,3 +200,47 @@ def test_show_progress_matches_silent_run(capsys):
     np.testing.assert_allclose(noisy.ess, silent.ess, rtol=1e-5, atol=1e-6)
     err = capsys.readouterr().err
     assert ("SMC" in err) or ("it" in err), err  # tqdm bar or fallback print
+
+
+def test_full_normal_proposal():
+    """FullNormalProposal (proposals.py) honors the reference's frozen
+    scipy-multivariate-normal duck-type (reference samples.py:77,85): logpdf
+    matches scipy, rvs reproduces mean/cov, and the sampler accepts it for
+    BOTH the sample and momentum proposals."""
+    from scipy.stats import multivariate_normal
+
+    from smcnuts_tpu import FullNormalProposal
+
+    mean = np.array([0.5, -1.0, 2.0])
+    cov = np.array([
+        [1.0, 0.4, 0.1],
+        [0.4, 2.0, -0.3],
+        [0.1, -0.3, 0.5],
+    ])
+    prop = FullNormalProposal(mean=tuple(mean), cov=tuple(map(tuple, cov)))
+
+    x = np.random.default_rng(0).normal(size=(64, 3)).astype(np.float32)
+    got = np.asarray(prop.logpdf(jnp.asarray(x)))
+    want = multivariate_normal(mean, cov).logpdf(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    draws = np.asarray(prop.rvs(jax.random.key(1), 200_000))
+    np.testing.assert_allclose(draws.mean(axis=0), mean, atol=0.02)
+    np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.03)
+
+    model = make_gaussian(MEAN, VAR, prior_var=np.full(3, 4.0))
+    cfg = SMCConfig(n_particles=256, n_iterations=10, step_size=0.5)
+    res = run_smc(
+        model, cfg, jax.random.key(2),
+        sample_proposal=FullNormalProposal(
+            mean=(0.0, 0.0, 0.0),
+            cov=((4.0, 0.5, 0.0), (0.5, 4.0, 0.0), (0.0, 0.0, 4.0)),
+        ),
+        momentum_proposal=FullNormalProposal(
+            mean=(0.0, 0.0, 0.0),
+            cov=((1.0, 0.2, 0.0), (0.2, 1.0, 0.0), (0.0, 0.0, 1.0)),
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.mean_estimate[-1]), MEAN, atol=0.3
+    )
