@@ -62,6 +62,11 @@ class TileModel:
     dim: int
     extra: Sequence[jnp.ndarray]  # data arrays, passed through SMEM
     tile_fn: Callable  # (extra_refs, x_tiles list[D], phi) -> (logp, grads)
+    # Gradient provenance: "hand" (fused tangent recurrences written by
+    # hand), "reverse" (in-kernel jax.vjp), or "forward" (per-coordinate
+    # in-kernel jax.jvp). Informational — lets callers/tests see which
+    # strategy the Stan frontend's auto selection picked.
+    autodiff: str = "hand"
 
 
 def _popcount_scalar(v, bits=13):
@@ -649,7 +654,61 @@ def tile_model_from_logp(logp_fn, dim, extra=()) -> TileModel:
         grads = vjp_fn(jnp.ones_like(logp))[0]
         return logp, [grads[d] for d in range(dim)]
 
-    return TileModel(dim=dim, extra=tuple(extra), tile_fn=tile_fn)
+    return TileModel(
+        dim=dim, extra=tuple(extra), tile_fn=tile_fn, autodiff="reverse"
+    )
+
+
+def tile_model_from_logp_fwd(logp_fn, dim, extra=()) -> TileModel:
+    """Forward-mode generic in-kernel adapter: the long-recurrence
+    counterpart of `tile_model_from_logp`.
+
+    The reverse-mode adapter stores every intermediate of the unrolled model
+    body as a VJP residual, which walls at ~40 recurrence steps on v5e (the
+    T=200 arma spills 594 MB of register-allocator slots — see
+    tile_model_from_logp). This adapter instead takes D sequential
+    `jax.jvp` passes, one per unconstrained coordinate: each pass interleaves
+    the primal recurrence with ITS tangent recurrence, so the live state is
+    O(1) in the recurrence length — machine-generated exactly the
+    primal-plus-D-tangent-chains structure the hand kernels write by hand
+    (arma_tile_model's err/emu/eb/eth chains).
+
+    Two documented dead ends this sidesteps: (a) jax.jacfwd pushes all D
+    tangents as one vmapped (D, 8, 128) batch, whose cross-lane relayouts
+    made a T=40 body compile >60 min in Mosaic (vs ~2 min for this form);
+    (b) reverse mode's residuals, the VMEM wall itself. Each coordinate's
+    pass closes over the other D-1 coordinates as constants, so JAX's
+    symbolic-zero propagation prunes every tangent op outside that
+    coordinate's dependency cone — the tangent work is the true dependency
+    structure, not D^2 dense chains. The D duplicated primal chains are
+    textually identical subgraphs that MLIR CSE folds; even un-CSE'd they
+    bound the overhead at (D+1)x the primal, with no memory growth.
+    """
+
+    def tile_fn(extra_refs, x_tiles, phi):
+        del extra_refs  # data lives in logp_fn's closure as constants
+        x_tiles = list(x_tiles)
+        shape = x_tiles[0].shape
+        phi_t = jnp.broadcast_to(
+            jnp.asarray(phi, x_tiles[0].dtype), shape
+        )
+        lanes = jax.vmap(logp_fn, in_axes=(-1, -1), out_axes=-1)
+        tiles = jax.vmap(lanes, in_axes=(1, 0), out_axes=0)
+        ones = jnp.ones(shape, x_tiles[0].dtype)
+        logp = None
+        grads = []
+        for d in range(dim):
+            def f_d(td, d=d):
+                th = [td if i == d else x_tiles[i] for i in range(dim)]
+                return tiles(jnp.stack(th), phi_t)
+
+            logp, g_d = jax.jvp(f_d, (x_tiles[d],), (ones,))
+            grads.append(g_d)
+        return logp, grads
+
+    return TileModel(
+        dim=dim, extra=tuple(extra), tile_fn=tile_fn, autodiff="forward"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -67,17 +67,21 @@ from .parser import (
     Bin,
     Call,
     Decl,
+    ExprStmt,
     For,
+    FuncDef,
     If,
     Index,
     Num,
     Program,
+    Return,
     Sampling,
     StanSyntaxError,
     TargetPlus,
     Ternary,
     Unary,
     Var,
+    While,
     parse,
 )
 
@@ -202,6 +206,13 @@ def _is_static_int(v):
     )
 
 
+class _FnReturn(Exception):
+    """Control-flow carrier for `return` inside a user-defined function."""
+
+    def __init__(self, value):
+        self.value = value
+
+
 class _ScanLoweringError(Exception):
     """A loop body the scan path cannot express; fall back to unrolling."""
 
@@ -294,6 +305,12 @@ def _walk_writes(stmts, assigned, declared):
         elif isinstance(st, If):
             _walk_writes(st.then, assigned, declared)
             _walk_writes(st.other, assigned, declared)
+        elif isinstance(st, (While, Return)):
+            # `while` trip counts and `return` unwinding need concrete
+            # Python control flow — not expressible as a scan body.
+            raise _ScanLoweringError(
+                "while/return inside a scanned loop body"
+            )
         # TargetPlus / Sampling accumulate into the target carry implicitly.
 
 
@@ -407,6 +424,9 @@ class _Interp:
     def _call(self, node: Call):
         name = node.name
         args = [_as_value(self.ev(a)) for a in node.args]
+        fns = self.env.get("__functions__")
+        if fns is not None and name in fns:
+            return self._call_user_fn(fns[name], args)
         if name.endswith("_rng"):
             dist = name[: -len("_rng")]
             if self.rng_key is None:
@@ -446,6 +466,48 @@ class _Interp:
                 return list(shape)
             return int(np.prod(shape)) if shape else 1
         raise StanCompileError(f"unsupported function {name!r}")
+
+    def _call_user_fn(self, fd: FuncDef, args):
+        """Inline a user-defined `functions`-block function: bind the
+        arguments in a fresh env (Stan functions see only their parameters),
+        trace the body, and unwind at `return`. `target +=` inside the body
+        accumulates into the caller's target (Stan's _lp-function semantics;
+        harmless for pure functions, which never touch target). Deeply
+        recursive calls are rejected — recursion depth would have to be
+        data-static anyway for the trace to terminate."""
+        if len(args) != len(fd.params):
+            raise StanCompileError(
+                f"{fd.name}() takes {len(fd.params)} arguments, got "
+                f"{len(args)}"
+            )
+        depth = self.env.get("__fdepth__", 0)
+        if depth > 32:
+            raise StanCompileError(
+                f"function call depth exceeded in {fd.name!r} (unbounded "
+                "recursion?)"
+            )
+        fenv = {
+            "__functions__": self.env.get("__functions__"),
+            "__fdepth__": depth + 1,
+        }
+        fenv.update(zip((p[1] for p in fd.params), args))
+        sub = _Interp(fenv, scan_threshold=self.scan_threshold)
+        if self.rng_key is not None:
+            sub.rng_key = jax.random.fold_in(self.rng_key, self._rng_count)
+            self._rng_count += 1
+        ret = None
+        try:
+            sub.run(fd.body)
+        except _FnReturn as r:
+            ret = r.value
+        self.target = self.target + sub.target
+        if ret is None and fd.ret_type != "void":
+            raise StanCompileError(
+                f"non-void function {fd.name!r} finished without `return` "
+                "(returns inside traced control flow are not reachable; "
+                "hoist them with the ternary operator)"
+            )
+        return ret
 
     # -- statements --
     def run(self, stmts):
@@ -497,6 +559,37 @@ class _Interp:
                 self.env[s.var] = shadowed
             else:
                 self.env.pop(s.var, None)
+        elif isinstance(s, While):
+            # Bounded unroll with concrete conditions: each trip re-evaluates
+            # the condition against the (possibly updated) env. A condition
+            # that becomes traced (depends on parameters) cannot steer a
+            # Python loop — same rule as `if`.
+            trips = 0
+            while True:
+                cond = self.ev(s.cond)
+                if not isinstance(
+                    cond, (bool, int, float, np.bool_, np.integer)
+                ):
+                    raise StanCompileError(
+                        f"line {s.line}: `while` conditions must be "
+                        "data-derived (parameter-dependent loop trip counts "
+                        "are not jittable)"
+                    )
+                if not cond:
+                    break
+                self.run(s.body)
+                trips += 1
+                if trips > 100_000:
+                    raise StanCompileError(
+                        f"line {s.line}: `while` exceeded 100000 iterations "
+                        "(non-terminating data-derived condition?)"
+                    )
+        elif isinstance(s, Return):
+            raise _FnReturn(
+                None if s.expr is None else _as_value(self.ev(s.expr))
+            )
+        elif isinstance(s, ExprStmt):
+            self.ev(s.expr)  # side effect only (user fn `target +=`)
         elif isinstance(s, If):
             cond = self.ev(s.cond)
             if isinstance(cond, (bool, int, float, np.bool_, np.integer)):
@@ -999,18 +1092,74 @@ class _ScanInterp(_Interp):
 # ------------------------------------------------------------ param packing
 
 
+_VEC_CONSTRAINED = ("simplex", "ordered", "positive_ordered", "unit_vector")
+
+
 class _ParamSpec:
-    """Unconstrained packing + constraining transform for one parameter."""
+    """Unconstrained packing + constraining transform for one parameter.
+
+    Scalar lower/upper bounds map elementwise (exp / negated exp / scaled
+    logistic). The constrained VECTOR types carry their transform in the
+    type itself (Stan reference manual ch. 10, mirroring the full BridgeStan
+    transform set the reference gets for free,
+    /root/reference/smcnuts/model/bridgestan.py:93-120):
+
+    - ordered:          c_1 = u_1, c_k = c_{k-1} + exp(u_k);  logJ = Σ_{k≥2} u_k
+    - positive_ordered: c_1 = exp(u_1), then as ordered;      logJ = Σ u_k
+    - simplex (K):      stick-breaking over K-1 unconstrained coordinates,
+                        z_k = logit⁻¹(u_k − log(K−k)), c_k = stick_k · z_k;
+                        logJ = Σ [log z_k + log(1−z_k) + log stick_k]
+    - unit_vector (K):  c = u/‖u‖ with Stan's −½‖u‖² density adjustment
+                        standing in for the Jacobian term.
+    """
 
     def __init__(self, decl: Decl, sizes, lower, upper):
         self.name = decl.name
+        self.vtype = decl.type if decl.type in _VEC_CONSTRAINED else None
+        if self.vtype is not None and len(sizes) != 1:
+            raise StanCompileError(
+                f"{decl.type}[{'x'.join(map(str, sizes))}] {decl.name}: "
+                "constrained vector types take exactly one dimension"
+            )
+        if self.vtype is not None and sizes[0] < 2:
+            raise StanCompileError(
+                f"{decl.type} {decl.name} needs dimension >= 2"
+            )
         self.sizes = tuple(sizes)  # () for scalar
         self.count = int(np.prod(sizes)) if sizes else 1
+        if self.vtype == "simplex":
+            # K constrained coordinates live on a (K-1)-dim manifold.
+            self.count = self.sizes[0] - 1
         self.lower = lower
         self.upper = upper
 
     def constrain(self, u):
         """u: (count,) slice of theta → (constrained values, log-Jacobian)."""
+        if self.vtype == "ordered":
+            c = jnp.cumsum(
+                jnp.concatenate([u[:1], jnp.exp(u[1:])])
+            )
+            return c, jnp.sum(u[1:])
+        if self.vtype == "positive_ordered":
+            return jnp.cumsum(jnp.exp(u)), jnp.sum(u)
+        if self.vtype == "simplex":
+            k = self.sizes[0]
+            adj = u - jnp.log(jnp.arange(k - 1, 0, -1, dtype=u.dtype))
+            log_z = jax.nn.log_sigmoid(adj)
+            log1m_z = jax.nn.log_sigmoid(-adj)
+            cum = jnp.cumsum(log1m_z)
+            log_stick = jnp.concatenate(
+                [jnp.zeros((1,), u.dtype), cum[:-1]]
+            )
+            c = jnp.concatenate(
+                [jnp.exp(log_stick + log_z), jnp.exp(cum[-1:])]
+            )
+            jac = jnp.sum(log_z + log1m_z + log_stick)
+            return c, jac
+        if self.vtype == "unit_vector":
+            norm2 = jnp.sum(u * u)
+            c = u / jnp.sqrt(norm2)
+            return c, -0.5 * norm2
         if self.lower is not None and self.upper is not None:
             span = self.upper - self.lower
             c = self.lower + span * jax.nn.sigmoid(u)
@@ -1064,6 +1213,13 @@ def load_stan_data(path: str) -> dict:
 
 def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
     env = {}
+    # User-defined functions ride the env under a reserved key (Stan
+    # identifiers cannot start with '_'), so every interpreter copy —
+    # including scan-lowered loop bodies and the constrain/GQ paths — can
+    # resolve them without threading an extra argument everywhere.
+    fdefs = prog.blocks.get("functions", [])
+    if fdefs:
+        env["__functions__"] = {f.name: f for f in fdefs}
     has_phi = False
     for decl in prog.blocks.get("data", []):
         if not isinstance(decl, Decl):
@@ -1094,22 +1250,62 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
     return env, has_phi
 
 
+def _max_static_loop_length(blocks, env) -> int:
+    """Longest static `for` trip count reachable in the given statement
+    blocks (nested loops multiply). Bounds are evaluated against the data
+    env; anything non-static counts as 0 (such loops fail elsewhere first).
+    Drives the tile-adapter autodiff-mode choice below."""
+    interp = _Interp(dict(env))
+
+    def expr_len(s: For) -> int:
+        try:
+            lo = _require_int(interp.ev(s.lo), "loop bound")
+            hi = _require_int(interp.ev(s.hi), "loop bound")
+            return max(0, hi - lo + 1)
+        except Exception:
+            return 0
+
+    def walk(stmts) -> int:
+        best = 0
+        for st in stmts if isinstance(stmts, (list, tuple)) else [stmts]:
+            if isinstance(st, For):
+                inner = walk(st.body)
+                best = max(best, expr_len(st) * max(1, inner))
+            elif isinstance(st, If):
+                best = max(best, walk(st.then), walk(st.other))
+        return best
+
+    return max((walk(b) for b in blocks), default=0)
+
+
 def compile_stan_program(source: str, data: dict, name: str = "stan",
                          scan_threshold: int | None = 64,
-                         tile: bool = False) -> Model:
+                         tile: bool = False,
+                         tile_autodiff: str = "auto") -> Model:
     """Compile Stan source + data dict into a framework `Model`.
 
     `scan_threshold`: loops of at least this many iterations lower to
     lax.scan (module docstring); None unrolls everything.
 
-    `tile=True` additionally builds an in-kernel tile model
-    (ops/nuts_pallas.tile_model_from_logp) so the compiled program runs on
-    the whole-tree Pallas NUTS backend — the tempered target is evaluated
-    ONCE per leaf (target(theta, phi) + jacobian, exact under the linear-phi
-    convention) instead of the logprior/loglik split. Best-effort: Mosaic
-    must be able to lower everything the model body traces to, and the
-    fully-unrolled body + VJP residuals must fit VMEM (~40-step recurrences
-    fit on v5e; the T=200 arma does not — see tile_model_from_logp).
+    `tile=True` additionally builds an in-kernel tile model so the compiled
+    program runs on the whole-tree Pallas NUTS backend — the tempered target
+    is evaluated ONCE per leaf (target(theta, phi) + jacobian, exact under
+    the linear-phi convention) instead of the logprior/loglik split.
+    Best-effort: Mosaic must be able to lower everything the model body
+    traces to.
+
+    `tile_autodiff` selects the in-kernel gradient strategy:
+    - "reverse": jax.vjp (ops/nuts_pallas.tile_model_from_logp). One pass,
+      but the unrolled body's residuals live in VMEM — walls at ~40
+      recurrence steps on v5e (the T=200 arma spilled 594 MB).
+    - "forward": D sequential jax.jvp passes
+      (ops/nuts_pallas.tile_model_from_logp_fwd) — O(1) live state in the
+      recurrence length, the machine-generated analog of the hand kernels'
+      fused tangent recurrences; cost scales with the parameter count D.
+    - "auto" (default): forward when the model/TP blocks contain a static
+      loop of more than 48 iterations (the regime where reverse-mode
+      residuals threaten VMEM), reverse otherwise (one pass beats D passes
+      for loopless or short-loop, wide-D targets like PRMwCD).
     """
     prog = parse(source)
     if "parameters" not in prog.blocks:
@@ -1252,7 +1448,10 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
 
     tile_model = None
     if tile:
-        from ..ops.nuts_pallas import tile_model_from_logp
+        from ..ops.nuts_pallas import (
+            tile_model_from_logp,
+            tile_model_from_logp_fwd,
+        )
 
         def logp_direct(theta, phi):
             # One target evaluation per leaf: logprior + phi*loglik ==
@@ -1270,7 +1469,20 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             t, jac = _eval_target(theta, phi, threshold=None)
             return t + jac
 
-        tile_model = tile_model_from_logp(logp_direct, dim)
+        if tile_autodiff == "auto":
+            longest = _max_static_loop_length(
+                (tp_block, model_block), data_env
+            )
+            tile_autodiff = "forward" if longest > 48 else "reverse"
+        if tile_autodiff == "forward":
+            tile_model = tile_model_from_logp_fwd(logp_direct, dim)
+        elif tile_autodiff == "reverse":
+            tile_model = tile_model_from_logp(logp_direct, dim)
+        else:
+            raise StanCompileError(
+                f"unknown tile_autodiff {tile_autodiff!r}; expected "
+                "'auto', 'forward', or 'reverse'"
+            )
 
     return Model(
         name=name,
@@ -1287,7 +1499,8 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
 def compile_stan_file(stan_path: str, data: Any = None,
                       name: str | None = None,
                       scan_threshold: int | None = 64,
-                      tile: bool = False) -> Model:
+                      tile: bool = False,
+                      tile_autodiff: str = "auto") -> Model:
     """Compile a `.stan` file (the reference's user-facing model asset,
     reference smcnuts/model/bridgestan.py:13-25) into a framework `Model`.
 
@@ -1303,5 +1516,6 @@ def compile_stan_file(stan_path: str, data: Any = None,
     if name is None:
         name = os.path.splitext(os.path.basename(stan_path))[0]
     return compile_stan_program(
-        source, data, name=name, scan_threshold=scan_threshold, tile=tile
+        source, data, name=name, scan_threshold=scan_threshold, tile=tile,
+        tile_autodiff=tile_autodiff,
     )

@@ -187,6 +187,11 @@ FUNCTIONS = {
     "log": jnp.log,
     "log1p": jnp.log1p,
     "log1m": lambda x: jnp.log1p(-_as_arr(x)),
+    # log(1 + exp(x)) / log(exp(x) - 1), overflow-safe (Stan 2.x names).
+    "log1p_exp": jax.nn.softplus,
+    "log1m_exp": lambda x: jnp.log(-jnp.expm1(_as_arr(x))),
+    "log_inv_logit": jax.nn.log_sigmoid,
+    "log1m_inv_logit": lambda x: jax.nn.log_sigmoid(-_as_arr(x)),
     "log2": jnp.log2,
     "log10": jnp.log10,
     "sqrt": jnp.sqrt,

@@ -175,6 +175,37 @@ class For:
 
 
 @dataclasses.dataclass
+class While:
+    cond: Any
+    body: list
+    line: int = 0
+
+
+@dataclasses.dataclass
+class Return:
+    expr: Any  # None for bare `return;`
+    line: int = 0
+
+
+@dataclasses.dataclass
+class ExprStmt:
+    """Bare call statement, e.g. `add_prior_lp(a);` — evaluated for its
+    side effect (a user function's `target +=`)."""
+
+    expr: Any
+    line: int = 0
+
+
+@dataclasses.dataclass
+class FuncDef:
+    ret_type: str  # 'void' | 'int' | 'real' | 'vector' | 'row_vector' | 'matrix'
+    name: str
+    params: list  # [(type_str, name), ...]
+    body: list
+    line: int = 0
+
+
+@dataclasses.dataclass
 class If:
     cond: Any
     then: list
@@ -198,6 +229,12 @@ _BLOCK_NAMES = (
 )
 
 _TYPE_NAMES = ("int", "real", "vector", "row_vector", "matrix")
+
+# Vector types whose constraint is part of the TYPE (Stan reference manual
+# ch. 10): declared like `simplex[K] theta;` — exactly one dimension, the
+# constraining transform supplied by the compiler's _ParamSpec.
+_CONSTRAINED_VEC_TYPES = ("simplex", "ordered", "positive_ordered",
+                          "unit_vector")
 
 
 class _Parser:
@@ -246,12 +283,58 @@ class _Parser:
                 name = f"generated {self.advance().text}"
             if name not in _BLOCK_NAMES:
                 self.fail(f"unknown block {name!r}")
-            if name == "functions":
-                self.fail("user-defined functions are not supported")
             self.expect("{")
-            blocks[name] = self.parse_statements_until("}")
+            if name == "functions":
+                blocks[name] = self.parse_function_defs()
+            else:
+                blocks[name] = self.parse_statements_until("}")
             self.expect("}")
         return Program(blocks)
+
+    def parse_function_defs(self) -> list:
+        """functions block: `ret_type name(type arg, ...) { body }` per
+        definition. Parameter types are unsized (Stan function signatures
+        carry no dimensions); `array[] T` / trailing `[]` mark array args."""
+        defs = []
+        while self.cur.text != "}":
+            line = self.cur.line
+            ret = self.advance()
+            if ret.kind != "id" or (
+                ret.text not in _TYPE_NAMES + ("void",)
+            ):
+                self.fail(f"expected function return type, got {ret.text!r}")
+            fname = self.advance()
+            if fname.kind != "id":
+                self.fail("expected function name")
+            self.expect("(")
+            params = []
+            while self.cur.text != ")":
+                is_array = False
+                if self.accept("array"):
+                    self.expect("[")
+                    self.expect("]")
+                    is_array = True
+                ptype = self.advance()
+                if ptype.text not in _TYPE_NAMES:
+                    self.fail(f"unsupported parameter type {ptype.text!r}")
+                pname = self.advance()
+                if pname.kind != "id":
+                    self.fail("expected parameter name")
+                if self.accept("["):  # old-style `real x[]`
+                    self.expect("]")
+                    is_array = True
+                params.append(
+                    (("array " if is_array else "") + ptype.text, pname.text)
+                )
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            self.expect("{")
+            body = self.parse_statements_until("}")
+            self.expect("}")
+            defs.append(FuncDef(ret.text, fname.text, params, body,
+                                line=line))
+        return defs
 
     def parse_statements_until(self, closer: str) -> list:
         stmts = []
@@ -265,6 +348,8 @@ class _Parser:
     def _at_declaration(self) -> bool:
         if self.cur.text == "array":
             return True
+        if self.cur.kind == "id" and self.cur.text in _CONSTRAINED_VEC_TYPES:
+            return self.peek().text == "["
         if self.cur.kind == "id" and self.cur.text in _TYPE_NAMES:
             # A type keyword starting a declaration is followed by '<', '[',
             # or an identifier; bare use as a variable name would not be.
@@ -281,8 +366,17 @@ class _Parser:
             return stmts
         if tok.text == "for":
             return self.parse_for()
+        if tok.text == "while":
+            return self.parse_while()
         if tok.text == "if":
             return self.parse_if()
+        if tok.text == "return":
+            self.advance()
+            expr = None
+            if self.cur.text != ";":
+                expr = self.parse_expr()
+            self.expect(";")
+            return Return(expr, line=tok.line)
         if tok.text in ("print", "reject"):
             # Side-effect-only statements: skip through the call and ';'.
             self.advance()
@@ -325,6 +419,9 @@ class _Parser:
                 if not isinstance(lhs, (Var, Index)):
                     self.fail("invalid assignment target")
                 return Assign(lhs, op, expr, line=tok.line)
+        if isinstance(lhs, Call) and self.cur.text == ";":
+            self.advance()
+            return ExprStmt(lhs, line=tok.line)
         self.fail(f"expected statement, got expression near {tok.text!r}")
 
     def parse_for(self) -> For:
@@ -344,6 +441,17 @@ class _Parser:
         if not isinstance(body, list):
             body = [body]
         return For(var.text, lo, hi, body, line=line)
+
+    def parse_while(self) -> While:
+        line = self.cur.line
+        self.expect("while")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        body = self.parse_statement()
+        if not isinstance(body, list):
+            body = [body]
+        return While(cond, body, line=line)
 
     def parse_if(self) -> If:
         line = self.cur.line
@@ -371,14 +479,20 @@ class _Parser:
                 array_dims.append(self.parse_expr())
             self.expect("]")
         type_tok = self.advance()
-        if type_tok.text not in _TYPE_NAMES:
+        if type_tok.text not in _TYPE_NAMES + _CONSTRAINED_VEC_TYPES:
             raise StanSyntaxError(
                 f"line {line}: unsupported type {type_tok.text!r} (supported: "
-                f"{', '.join(_TYPE_NAMES)})"
+                f"{', '.join(_TYPE_NAMES + _CONSTRAINED_VEC_TYPES)})"
             )
         constraint = self.parse_constraint()
+        if constraint is not None and type_tok.text in _CONSTRAINED_VEC_TYPES:
+            raise StanSyntaxError(
+                f"line {line}: {type_tok.text} carries its own constraint; "
+                "lower/upper bounds cannot be combined with it"
+            )
         inner_dims = []
-        if type_tok.text in ("vector", "row_vector", "matrix"):
+        if type_tok.text in ("vector", "row_vector",
+                             "matrix") + _CONSTRAINED_VEC_TYPES:
             self.expect("[")
             inner_dims.append(self.parse_expr())
             while self.accept(","):

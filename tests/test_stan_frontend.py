@@ -223,12 +223,6 @@ def test_end_to_end_smc_on_compiled_program():
 
 
 def test_unsupported_constructs_raise():
-    with pytest.raises(StanSyntaxError):
-        compile_stan_program(
-            "functions { real f(real x) { return x; } } parameters { real x; }"
-            " model { x ~ normal(0,1); }",
-            {},
-        )
     with pytest.raises(StanCompileError):
         compile_stan_program(
             "parameters { real x; } model { x ~ wishart(3, I); }", {}
@@ -652,3 +646,398 @@ def test_stream_noncontiguous_lags_stay_scanned():
     assert any(eq.primitive.name == "scan" for eq in jx.eqns), (
         "streamed lowering silently fell back to unrolling"
     )
+
+
+# ------------------------------------ forward-mode tile adapter (long loops)
+
+
+def test_tile_autodiff_auto_selection():
+    """tile_autodiff='auto' picks forward mode for long static loops (the
+    reverse adapter's VMEM wall) and reverse mode otherwise."""
+    m_long = compile_stan_program(
+        _RECURRENCE, _recurrence_data(T=200), name="rec200", tile=True
+    )
+    assert m_long.tile_model.autodiff == "forward"
+    m_short = compile_stan_program(
+        _RECURRENCE, _recurrence_data(T=40), name="rec40", tile=True
+    )
+    assert m_short.tile_model.autodiff == "reverse"
+    m_forced = compile_stan_program(
+        _RECURRENCE, _recurrence_data(T=40), name="rec40f", tile=True,
+        tile_autodiff="forward",
+    )
+    assert m_forced.tile_model.autodiff == "forward"
+    with pytest.raises(StanCompileError, match="tile_autodiff"):
+        compile_stan_program(
+            _RECURRENCE, _recurrence_data(T=10), tile=True,
+            tile_autodiff="bogus",
+        )
+
+
+def test_tile_adapter_forward_mode_matches_grad_t200():
+    """The forward-mode tile adapter (per-coordinate in-kernel jax.jvp —
+    ops/nuts_pallas.tile_model_from_logp_fwd) at full arma scale (T=200,
+    where the reverse adapter's VJP residuals exceed VMEM on-device): logp
+    and gradients must match jax.grad of the compiled program exactly."""
+    data = _recurrence_data(T=200)
+    m = compile_stan_program(_RECURRENCE, data, name="rec200", tile=True)
+    assert m.tile_model.autodiff == "forward"
+    rng = np.random.default_rng(7)
+    # |a| < 1 keeps the T=200 recurrence non-explosive: at |a| > 1 the f32
+    # values overflow (~1.3^200) and the scan vs unrolled forms propagate
+    # inf/NaN differently — a float artifact, not an adapter property.
+    x = np.stack(
+        [rng.uniform(-0.9, 0.9, 1024), rng.normal(0, 0.4, 1024)], axis=1
+    )
+    tiles = [jnp.asarray(x[:, d].reshape(8, 128), jnp.float32)
+             for d in range(2)]
+    logp, grads = jax.jit(
+        lambda ts, p: m.tile_model.tile_fn((), ts, p)
+    )(tiles, jnp.full((8, 128), 0.7, jnp.float32))
+    xj = jnp.asarray(x, jnp.float32)
+    lp_ref = m.logp_batch(xj, 0.7)
+    np.testing.assert_allclose(
+        np.asarray(logp).reshape(-1), np.asarray(lp_ref), rtol=1e-4,
+        atol=1e-3,
+    )
+    g_ref = np.asarray(
+        jax.vmap(lambda t: jax.grad(lambda q: m.logp(q, 0.7))(t))(xj)
+    )
+    g_tile = np.stack([np.asarray(g).reshape(-1) for g in grads], axis=1)
+    scale = np.abs(g_ref).max() + 1e-6
+    np.testing.assert_allclose(g_tile / scale, g_ref / scale, atol=1e-5)
+
+
+def test_frontend_long_recurrence_pallas_kernel_interpret():
+    """Forward-mode tile model through the whole-tree Pallas NUTS kernel
+    (TPU-semantics interpreter): in-kernel log densities at a T=96
+    recurrence (auto -> forward) must match the XLA evaluation."""
+    from smcnuts_tpu.ops.nuts_pallas import nuts_batch_pallas
+
+    m = compile_stan_program(
+        _RECURRENCE, _recurrence_data(T=96), name="rec96", tile=True
+    )
+    assert m.tile_model.autodiff == "forward"
+    rng = np.random.default_rng(1)
+    n = 16
+    x = jnp.asarray(rng.normal(0, 0.3, (n, 2)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    _, _, st = nuts_batch_pallas(
+        m.tile_model, x, r, 5, 0.05, 0.8, max_depth=2, interpret=True
+    )
+    lp_ref = m.logp_batch(x, 0.8)
+    np.testing.assert_allclose(
+        np.asarray(st["logp0"]), np.asarray(lp_ref), rtol=1e-4, atol=1e-2
+    )
+
+
+# --------------------------- language breadth: functions, while, transforms
+
+
+def test_user_functions_inline():
+    """functions-block definitions (reference gets these via BridgeStan's
+    full-language compiler) inline at call sites: values, gradients, and use
+    inside loops must match the hand-written equivalent."""
+    src = """
+    functions {
+      real sq(real x) { return x * x; }
+      real horner(vector c, real x) {
+        real acc;
+        acc = 0;
+        for (k in 1:num_elements(c)) { acc = acc * x + c[k]; }
+        return acc;
+      }
+    }
+    data { real phi; }
+    parameters { real a; }
+    model {
+      vector[3] c;
+      c[1] = 1; c[2] = -2; c[3] = 0.5;
+      target += phi * (-sq(a - 1) - 0.1 * sq(horner(c, a)));
+    }
+    """
+    m = compile_stan_program(src, {}, name="fns")
+    ref = lambda a: -(a - 1) ** 2 - 0.1 * ((a * a - 2 * a + 0.5) ** 2)
+    for a in (-0.7, 0.0, 1.3):
+        th = jnp.asarray([a], jnp.float32)
+        np.testing.assert_allclose(
+            float(m.logp(th, 0.8)), 0.8 * ref(a), rtol=1e-5, atol=1e-5
+        )
+        g = jax.grad(lambda t: m.logp(t, 0.8))(th)
+        g_ref = jax.grad(lambda t: 0.8 * ref(t[0]))(th)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_user_function_target_increment():
+    """_lp-style user functions: `target +=` inside a function body lands in
+    the caller's target."""
+    src = """
+    functions {
+      void add_prior_lp(real x) { target += normal_lpdf(x | 0, 2); }
+    }
+    parameters { real a; }
+    model { add_prior_lp(a); }
+    """
+    m = compile_stan_program(src, {}, name="fnlp")
+    th = jnp.asarray([0.7], jnp.float32)
+    from scipy.stats import norm
+
+    np.testing.assert_allclose(
+        float(m.logp(th, 1.0)), norm(0, 2).logpdf(0.7), rtol=1e-5
+    )
+
+
+def test_user_function_recursion_rejected():
+    src = """
+    functions { real f(real x) { return f(x) + 1; } }
+    parameters { real a; }
+    model { target += f(a); }
+    """
+    with pytest.raises(StanCompileError, match="depth|recursion"):
+        compile_stan_program(src, {}, name="rec")
+
+
+def test_while_loop_matches_for():
+    """`while` with data-derived conditions unrolls like the equivalent
+    `for` (BridgeStan runs these natively; here they trace)."""
+    srcw = """
+    data { int<lower=1> T; real y[T]; real phi; }
+    parameters { real a; }
+    model {
+      int t;
+      real acc;
+      t = 1;
+      acc = 0;
+      while (t <= T) { acc += (y[t] - a)^2; t += 1; }
+      target += phi * (-0.5 * acc);
+    }
+    """
+    srcf = """
+    data { int<lower=1> T; real y[T]; real phi; }
+    parameters { real a; }
+    model {
+      real acc;
+      acc = 0;
+      for (t in 1:T) { acc += (y[t] - a)^2; }
+      target += phi * (-0.5 * acc);
+    }
+    """
+    data = {"T": 9, "y": np.arange(9.0).tolist()}
+    mw = compile_stan_program(srcw, data, name="w")
+    mf = compile_stan_program(srcf, data, name="f")
+    for a in (-0.4, 0.9):
+        th = jnp.asarray([a], jnp.float32)
+        np.testing.assert_allclose(
+            float(mw.logp(th, 0.6)), float(mf.logp(th, 0.6)), rtol=1e-6
+        )
+
+
+def test_while_parameter_condition_rejected():
+    src = """
+    parameters { real a; }
+    model { while (a > 0) { target += -1; } }
+    """
+    with pytest.raises(StanCompileError, match="while"):
+        compile_stan_program(src, {}, name="wbad")
+
+
+def _constrain_parts(m, dim, u):
+    th = jnp.asarray(u, jnp.float32)
+    return np.asarray(m.constrain(th))
+
+
+@pytest.mark.parametrize("vtype,K", [
+    ("ordered", 4), ("positive_ordered", 4), ("simplex", 5),
+])
+def test_constrained_vector_transforms(vtype, K):
+    """ordered / positive_ordered / simplex transforms: shape invariants
+    hold and the declared log-Jacobian equals log|det| of the transform
+    computed numerically with jax.jacobian (for simplex, over the first K-1
+    coordinates — the manifold chart)."""
+    dim = K - 1 if vtype == "simplex" else K
+    src = f"""
+    parameters {{ {vtype}[{K}] v; }}
+    model {{ target += 0; }}
+    """
+    m = compile_stan_program(src, {}, name=vtype)
+    assert m.dim == dim
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        u = rng.normal(0, 0.8, dim)
+        c = _constrain_parts(m, dim, u)[:K]
+        if vtype == "ordered":
+            assert np.all(np.diff(c) > 0)
+        elif vtype == "positive_ordered":
+            assert np.all(c > 0) and np.all(np.diff(c) > 0)
+        else:
+            assert np.all(c > 0)
+            np.testing.assert_allclose(c.sum(), 1.0, rtol=1e-5)
+        # Jacobian: logprior of this flat-target model IS the log-Jacobian.
+        lj = float(m.logprior(jnp.asarray(u, jnp.float32)))
+
+        def chart(uu, m=m):
+            out = m.constrain(uu)[:K]
+            return out[:-1] if vtype == "simplex" else out
+
+        J = jax.jacobian(chart)(jnp.asarray(u, jnp.float32))
+        _, ld = np.linalg.slogdet(np.asarray(J, np.float64))
+        np.testing.assert_allclose(lj, ld, rtol=1e-4, atol=1e-3)
+
+
+def test_unit_vector_transform():
+    src = "parameters { unit_vector[3] v; } model { target += 0; }"
+    m = compile_stan_program(src, {}, name="uv")
+    assert m.dim == 3
+    u = np.array([0.6, -1.2, 0.4])
+    c = np.asarray(m.constrain(jnp.asarray(u, jnp.float32)))[:3]
+    np.testing.assert_allclose(np.linalg.norm(c), 1.0, rtol=1e-5)
+    # Stan's density adjustment: -||u||^2 / 2.
+    np.testing.assert_allclose(
+        float(m.logprior(jnp.asarray(u, jnp.float32))),
+        -0.5 * float(np.sum(u * u)), rtol=1e-5,
+    )
+
+
+def test_ordered_posterior_order_statistics():
+    """e2e: ordered[3] c with c ~ normal(0,1) samples the order statistics
+    of three iid standard normals — E[c] = (-0.846, 0, 0.846)."""
+    from smcnuts_tpu import SMCConfig, run_smc
+
+    src = """
+    parameters { ordered[3] c; }
+    model { for (k in 1:3) { c[k] ~ normal(0, 1); } }
+    """
+    m = compile_stan_program(src, {}, name="ord3")
+    cfg = SMCConfig(n_particles=1024, n_iterations=12, step_size=0.4,
+                    save_history=False, max_tree_depth=6)
+    res = run_smc(m, cfg, jax.random.key(2))
+    mean = np.asarray(res.mean_estimate[-1])[:3]
+    expect = np.array([-0.8463, 0.0, 0.8463])
+    np.testing.assert_allclose(mean, expect, atol=0.12)
+
+
+def test_simplex_posterior_dirichlet_mean():
+    """e2e: simplex[3] w with target += 2 log w1 + 1 log w2 is Dirichlet
+    (3,2,1) — mean (1/2, 1/3, 1/6). Wrong stick-breaking Jacobians shift
+    these means (asymmetric on purpose)."""
+    from smcnuts_tpu import SMCConfig, run_smc
+
+    src = """
+    parameters { simplex[3] w; }
+    model { target += 2 * log(w[1]) + log(w[2]); }
+    """
+    m = compile_stan_program(src, {}, name="dir321")
+    cfg = SMCConfig(n_particles=1024, n_iterations=12, step_size=0.4,
+                    save_history=False, max_tree_depth=6)
+    res = run_smc(m, cfg, jax.random.key(3))
+    mean = np.asarray(res.mean_estimate[-1])[:3]
+    np.testing.assert_allclose(
+        mean, [0.5, 1 / 3, 1 / 6], atol=0.05
+    )
+
+
+_EIGHT_NCP = """
+data {
+  int<lower=0> J;
+  real y[J];
+  real<lower=0> sigma[J];
+  real phi;
+}
+parameters {
+  real mu;
+  real<lower=0> tau;
+  vector[J] theta_t;
+}
+transformed parameters {
+  vector[J] theta = mu + tau * theta_t;
+}
+model {
+  mu ~ normal(0, 5);
+  tau ~ cauchy(0, 5);
+  theta_t ~ normal(0, 1);
+  target += phi * normal_lpdf(y | theta, sigma);
+}
+"""
+
+
+def test_eight_schools_ncp_port():
+    """External-model port: the classic eight-schools NCP .stan (Stan docs /
+    posteriordb) compiled by the frontend must match the hand model's density
+    up to the half-Cauchy folding constant (the hand model normalizes
+    HalfCauchy with +log 2; Stan's `tau ~ cauchy(0,5)` on a <lower=0>
+    parameter does not) — gradients therefore must match exactly."""
+    from smcnuts_tpu.models import make_eightschools
+    from smcnuts_tpu.models.eightschools import SIGMA, Y
+
+    data = {"J": 8, "y": Y.tolist(), "sigma": SIGMA.tolist()}
+    m = compile_stan_program(_EIGHT_NCP, data, name="eight_ncp")
+    hand = make_eightschools()
+    assert m.dim == hand.dim == 10
+    # constrain: [mu, tau, theta_t(8), theta(8)] — raw params + the TP block.
+    assert m.constrained_dim == 18
+
+    rng = np.random.default_rng(4)
+    log2 = float(np.log(2.0))
+    for _ in range(5):
+        th = jnp.asarray(rng.normal(size=10) * 0.5, jnp.float32)
+        np.testing.assert_allclose(
+            float(m.logprior(th)) + log2, float(hand.logprior(th)),
+            rtol=1e-5, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(m.loglik(th)), float(hand.loglik(th)), rtol=1e-5, atol=1e-3
+        )
+        g1 = jax.grad(lambda t: m.logp(t, 0.7))(th)
+        g2 = jax.grad(lambda t: hand.logp(t, 0.7))(th)
+        scale = float(jnp.max(jnp.abs(g2))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(g1) / scale, np.asarray(g2) / scale, atol=3e-4
+        )
+        # TP block: theta = mu + tau * theta_t, after [mu, tau, theta_t].
+        c = np.asarray(m.constrain(th))
+        np.testing.assert_allclose(
+            c[10:], np.asarray(hand.constrain(th))[2:], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_glm_with_functions_e2e():
+    """External-model port: a logistic GLM whose linear predictor and prior
+    live in user functions, sampled end-to-end — posterior mean must land
+    near the (strongly identified) generating coefficients."""
+    from smcnuts_tpu import SMCConfig, run_smc
+
+    rng = np.random.default_rng(9)
+    n, true_b = 200, np.array([1.0, -2.0])
+    X = rng.normal(size=(n, 2))
+    p = 1.0 / (1.0 + np.exp(-(X @ true_b)))
+    yv = (rng.uniform(size=n) < p).astype(float)
+
+    src = """
+    functions {
+      real lin(vector b, real x1, real x2) { return b[1]*x1 + b[2]*x2; }
+      void coef_prior_lp(vector b) { target += normal_lpdf(b | 0, 3); }
+    }
+    data { int<lower=1> N; real x1[N]; real x2[N]; real y[N]; real phi; }
+    parameters { vector[2] b; }
+    model {
+      real eta;
+      coef_prior_lp(b);
+      for (i in 1:N) {
+        eta = lin(b, x1[i], x2[i]);
+        target += phi * (y[i] * eta - log1p_exp(eta));
+      }
+    }
+    """
+    m = compile_stan_program(
+        src,
+        {"N": n, "x1": X[:, 0].tolist(), "x2": X[:, 1].tolist(),
+         "y": yv.tolist()},
+        name="glm_fns",
+    )
+    cfg = SMCConfig(n_particles=512, n_iterations=10, step_size=0.1,
+                    tempering=True, save_history=False, max_tree_depth=7)
+    res = run_smc(m, cfg, jax.random.key(5))
+    mean = np.asarray(res.mean_estimate[-1])
+    np.testing.assert_allclose(mean, true_b, atol=0.5)
