@@ -61,7 +61,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import Model
-from .math import DISTRIBUTIONS, FUNCTIONS, RNG_FUNCTIONS
+from .math import (
+    DISTRIBUTIONS,
+    ELEMENTWISE_DENSITIES,
+    FUNCTIONS,
+    LOG_SQRT_2PI,
+    RNG_FUNCTIONS,
+)
 from .parser import (
     Assign,
     Bin,
@@ -317,8 +323,19 @@ def _walk_writes(stmts, assigned, declared):
 # ------------------------------------------------------------- interpreter
 
 
+# Elementwise builtins that may stay "per element" over a rank-1 container
+# in scalarize mode (see _Interp.scalarize) instead of stacking it.
+_ELEMENTWISE_FNS = frozenset(
+    ("sqrt", "exp", "log", "log1p", "log1m", "log10", "log2", "expm1",
+     "square", "fabs", "abs", "inv", "inv_sqrt", "sin", "cos", "tan",
+     "sinh", "cosh", "tanh", "cbrt", "logit", "inv_logit", "erf", "erfc",
+     "log1p_exp", "log1m_exp", "log_inv_logit", "log1m_inv_logit")
+)
+
+
 class _Interp:
-    def __init__(self, env, scan_threshold=None, rng_key=None):
+    def __init__(self, env, scan_threshold=None, rng_key=None,
+                 scalarize=False):
         self.env = env  # name -> value
         self.target = jnp.asarray(0.0, dtype=float)
         # Loops with at least this many iterations are lowered to lax.scan
@@ -326,6 +343,16 @@ class _Interp:
         # which must stay concrete, and for Pallas tile bodies, where scalar
         # data reads must inline as literals).
         self.scan_threshold = scan_threshold
+        # Pallas-tile-body mode: vectorized distribution calls and
+        # elementwise builtins over rank-1 containers UNROLL per element
+        # instead of stacking the container. A stacked T-element local under
+        # the adapter's lane vmap becomes an (8, 128, T) tensor built from T
+        # broadcasts + concatenates — measured 1400 such ops for the T=200
+        # arma, the dominant Mosaic compile cost and exactly what the hand
+        # kernels avoid by accumulating inside the loop. Scalarized, the
+        # same statements fold into the unrolled chain as straight-line
+        # scalar terms (identical values: addition reassociation only).
+        self.scalarize = scalarize
         # Fixed RNG for *_rng calls (generated quantities); None elsewhere.
         self.rng_key = rng_key
         self._rng_count = 0
@@ -421,12 +448,96 @@ class _Interp:
             )
         raise StanCompileError(f"operator {op!r} unsupported")
 
+    # ---- scalarize-mode helpers (Pallas tile bodies; see __init__) ----
+
+    @staticmethod
+    def _seq_len1(v):
+        """Length of a rank-1 value, 0 for scalars, None if not
+        scalarizable (rank >= 2 or partially-initialized reads raise)."""
+        if isinstance(v, _LocalArray):
+            return v.dims[0] if len(v.dims) == 1 else None
+        nd = getattr(v, "ndim", None)
+        if nd is None:
+            return 0
+        if nd == 0:
+            return 0
+        if nd == 1:
+            return int(np.shape(v)[0])
+        return None
+
+    @staticmethod
+    def _elem(v, i):
+        if isinstance(v, _LocalArray):
+            return v.get([i + 1])
+        if isinstance(v, np.ndarray):
+            return float(v[i])  # folds into ops as an immediate
+        if getattr(v, "ndim", 0) == 1:
+            return v[i]
+        return v
+
+    def _dist_scalarized(self, dist, raw):
+        """Vectorized lpdf/lpmf over rank-1 args -> Python-summed scalar
+        terms (None when the args are not uniformly scalarizable).
+
+        `normal` with scalar scale gets a sufficient-statistic form
+        (accumulate squared residuals; pay log sigma and the constant
+        once), since it is THE recurrence-consumer idiom (arma/GARCH) and
+        the naive per-element lpdf would re-emit log/div per step."""
+        if dist not in ELEMENTWISE_DENSITIES:
+            return None
+        lens = [self._seq_len1(v) for v in raw]
+        if any(l is None for l in lens):
+            return None
+        vec = [l for l in lens if l > 0]
+        if not vec:
+            return None
+        n = vec[0]
+        if any(l != n for l in vec):
+            return None
+        if (
+            dist == "normal"
+            and len(raw) == 3
+            and lens[0] == n
+            and lens[2] == 0
+        ):
+            sigma = _as_value(raw[2])
+            ss = None
+            for i in range(n):
+                d = _as_value(self._elem(raw[0], i)) - _as_value(
+                    self._elem(raw[1], i)
+                )
+                ss = d * d if ss is None else ss + d * d
+            return (
+                -0.5 * ss / (sigma * sigma)
+                - n * (jnp.log(sigma) + LOG_SQRT_2PI)
+            )
+        density = ELEMENTWISE_DENSITIES[dist]
+        total = None
+        for i in range(n):
+            term = density(*[_as_value(self._elem(v, i)) for v in raw])
+            total = term if total is None else total + term
+        return total
+
+    def _elementwise_scalarized(self, name, v):
+        n = self._seq_len1(v)
+        if not n:
+            return None
+        out = _LocalArray([n])
+        for i in range(n):
+            out.set([i + 1], FUNCTIONS[name](_as_value(self._elem(v, i))))
+        return out
+
     def _call(self, node: Call):
         name = node.name
-        args = [_as_value(self.ev(a)) for a in node.args]
+        raw = [self.ev(a) for a in node.args]
+        # _as_value STACKS _LocalArray containers — evaluated lazily so the
+        # scalarized paths (which read containers element-by-element) never
+        # trace a dead whole-container stack into the jaxpr (pallas lowers
+        # the traced ops whether or not they reach the outputs).
+        args = lambda: [_as_value(v) for v in raw]
         fns = self.env.get("__functions__")
         if fns is not None and name in fns:
-            return self._call_user_fn(fns[name], args)
+            return self._call_user_fn(fns[name], args())
         if name.endswith("_rng"):
             dist = name[: -len("_rng")]
             if self.rng_key is None:
@@ -440,7 +551,7 @@ class _Interp:
             # reference's fixed-seed constrain RNG (bridgestan.py:106).
             key = jax.random.fold_in(self.rng_key, self._rng_count)
             self._rng_count += 1
-            return RNG_FUNCTIONS[dist](key, *args)
+            return RNG_FUNCTIONS[dist](key, *args())
         for suffix in ("_lpdf", "_lpmf", "_lupdf", "_lupmf"):
             if name.endswith(suffix):
                 dist = name[: -len(suffix)]
@@ -448,11 +559,23 @@ class _Interp:
                     raise StanCompileError(
                         f"unsupported distribution {dist!r}"
                     )
-                return DISTRIBUTIONS[dist](*args)
+                if self.scalarize:
+                    out = self._dist_scalarized(dist, raw)
+                    if out is not None:
+                        return out
+                return DISTRIBUTIONS[dist](*args())
         if name in FUNCTIONS:
-            return FUNCTIONS[name](*args)
+            if (
+                self.scalarize
+                and name in _ELEMENTWISE_FNS
+                and len(raw) == 1
+            ):
+                out = self._elementwise_scalarized(name, raw[0])
+                if out is not None:
+                    return out
+            return FUNCTIONS[name](*args())
         if name in ("num_elements", "size", "rows", "cols", "dims"):
-            arr = args[0]
+            arr = raw[0]
             shape = (
                 arr.dims
                 if isinstance(arr, _LocalArray)
@@ -491,7 +614,8 @@ class _Interp:
             "__fdepth__": depth + 1,
         }
         fenv.update(zip((p[1] for p in fd.params), args))
-        sub = _Interp(fenv, scan_threshold=self.scan_threshold)
+        sub = _Interp(fenv, scan_threshold=self.scan_threshold,
+                      scalarize=self.scalarize)
         if self.rng_key is not None:
             sub.rng_key = jax.random.fold_in(self.rng_key, self._rng_count)
             self._rng_count += 1
@@ -533,9 +657,13 @@ class _Interp:
                 raise StanCompileError(
                     f"line {s.line}: unsupported distribution {dist!r}"
                 )
-            lhs = _as_value(self.ev(s.lhs))
-            args = [_as_value(self.ev(a)) for a in s.args]
-            self.target = self.target + DISTRIBUTIONS[dist](lhs, *args)
+            raw = [self.ev(s.lhs)] + [self.ev(a) for a in s.args]
+            inc = None
+            if self.scalarize:
+                inc = self._dist_scalarized(dist, raw)
+            if inc is None:
+                inc = DISTRIBUTIONS[dist](*[_as_value(v) for v in raw])
+            self.target = self.target + inc
         elif isinstance(s, For):
             lo = _require_int(self.ev(s.lo), f"line {s.line}: loop bound")
             hi = _require_int(self.ev(s.hi), f"line {s.line}: loop bound")
@@ -1178,6 +1306,35 @@ class _ParamSpec:
             return c[0], jac
         return c.reshape(self.sizes), jac
 
+    def constrain_seq(self, us):
+        """Like `constrain`, but from a SEQUENCE of scalar coordinates —
+        the forward-mode tile adapter's contract
+        (ops/nuts_pallas.tile_model_from_logp_fwd): scalar parameters apply
+        their transform directly on the scalar, introducing NO jnp.stack,
+        so per-coordinate symbolic-zero tangents survive into the model
+        body. Multi-element parameters necessarily stack their own slice
+        (their transform mixes coordinates anyway)."""
+        if self.sizes:
+            return self.constrain(jnp.stack([jnp.asarray(u) for u in us]))
+        u = us[0]
+        if self.lower is not None and self.upper is not None:
+            span = self.upper - self.lower
+            c = self.lower + span * jax.nn.sigmoid(u)
+            jac = (
+                jnp.log(span)
+                + jax.nn.log_sigmoid(u)
+                + jax.nn.log_sigmoid(-u)
+            )
+        elif self.lower is not None:
+            c = self.lower + jnp.exp(u)
+            jac = u
+        elif self.upper is not None:
+            c = self.upper - jnp.exp(u)
+            jac = u
+        else:
+            c, jac = u, jnp.asarray(0.0, dtype=float)
+        return c, jac
+
     def names(self):
         if not self.sizes:
             return [self.name]
@@ -1339,24 +1496,29 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
     gq_block = prog.blocks.get("generated quantities", [])
 
     def _unpack(theta):
-        """theta (dim,) → (param env, total log-Jacobian)."""
+        """theta → (param env, total log-Jacobian). Accepts the (dim,)
+        vector, or a SEQUENCE of scalar coordinates (the forward-mode tile
+        adapter's no-stack contract; see _ParamSpec.constrain_seq)."""
+        seq = isinstance(theta, (list, tuple))
         env = {}
         jac = jnp.asarray(0.0, dtype=float)
         off = 0
         for s in specs:
-            c, j = s.constrain(theta[off : off + s.count])
+            u = theta[off : off + s.count]
+            c, j = s.constrain_seq(u) if seq else s.constrain(u)
             env[s.name] = c
             jac = jac + j
             off += s.count
         return env, jac
 
-    def _eval_target(theta, phi, threshold=scan_threshold):
+    def _eval_target(theta, phi, threshold=scan_threshold,
+                     scalarize=False):
         env = dict(data_env)
         penv, jac = _unpack(theta)
         env.update(penv)
         if has_phi:
             env["phi"] = phi
-        interp = _Interp(env, scan_threshold=threshold)
+        interp = _Interp(env, scan_threshold=threshold, scalarize=scalarize)
         interp.run(tp_block)
         interp.run(model_block)
         return interp.target, jac
@@ -1466,7 +1628,17 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             # in-kernel scan lowering does not implement (num_extensive).
             # The VMEM envelope this implies (and the rejected
             # alternatives) are documented in tile_model_from_logp.
-            t, jac = _eval_target(theta, phi, threshold=None)
+            t, jac = _eval_target(theta, phi, threshold=None,
+                                  scalarize=True)
+            return t + jac
+
+        def logp_direct_seq(coords, phi):
+            # Forward-mode contract: coordinates arrive as a sequence of
+            # scalars so scalar parameters never pass through a jnp.stack
+            # (which would instantiate the symbolic-zero tangents — see
+            # tile_model_from_logp_fwd).
+            t, jac = _eval_target(list(coords), phi, threshold=None,
+                                  scalarize=True)
             return t + jac
 
         if tile_autodiff == "auto":
@@ -1475,7 +1647,7 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             )
             tile_autodiff = "forward" if longest > 48 else "reverse"
         if tile_autodiff == "forward":
-            tile_model = tile_model_from_logp_fwd(logp_direct, dim)
+            tile_model = tile_model_from_logp_fwd(logp_direct_seq, dim)
         elif tile_autodiff == "reverse":
             tile_model = tile_model_from_logp(logp_direct, dim)
         else:

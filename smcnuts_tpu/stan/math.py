@@ -154,26 +154,31 @@ def _neg_binomial_2(y, mu, phi):
     )
 
 
-DISTRIBUTIONS = {
-    "normal": _lp(_normal),
-    "std_normal": _lp(lambda y: _normal(y, 0.0, 1.0)),
-    "cauchy": _lp(_cauchy),
-    "student_t": _lp(_student_t),
-    "exponential": _lp(_exponential),
-    "gamma": _lp(_gamma),
-    "inv_gamma": _lp(_inv_gamma),
-    "lognormal": _lp(_lognormal),
-    "beta": _lp(_beta),
-    "uniform": _lp(_uniform),
-    "double_exponential": _lp(_double_exponential),
-    "chi_square": _lp(_chi_square),
-    "poisson": _lp(_poisson),
-    "poisson_log": _lp(_poisson_log),
-    "bernoulli": _lp(_bernoulli),
-    "bernoulli_logit": _lp(_bernoulli_logit),
-    "binomial": _lp(_binomial),
-    "neg_binomial_2": _lp(_neg_binomial_2),
+# Raw per-element densities (no broadcast/sum wrapper). The compiler's
+# scalarize mode (Pallas tile bodies) calls these one element at a time so
+# terms fold straight into the unrolled chain with no container stacking.
+ELEMENTWISE_DENSITIES = {
+    "normal": _normal,
+    "std_normal": lambda y: _normal(y, 0.0, 1.0),
+    "cauchy": _cauchy,
+    "student_t": _student_t,
+    "exponential": _exponential,
+    "gamma": _gamma,
+    "inv_gamma": _inv_gamma,
+    "lognormal": _lognormal,
+    "beta": _beta,
+    "uniform": _uniform,
+    "double_exponential": _double_exponential,
+    "chi_square": _chi_square,
+    "poisson": _poisson,
+    "poisson_log": _poisson_log,
+    "bernoulli": _bernoulli,
+    "bernoulli_logit": _bernoulli_logit,
+    "binomial": _binomial,
+    "neg_binomial_2": _neg_binomial_2,
 }
+
+DISTRIBUTIONS = {k: _lp(v) for k, v in ELEMENTWISE_DENSITIES.items()}
 
 
 # ---- scalar / container builtins ----
