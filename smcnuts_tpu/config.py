@@ -60,11 +60,13 @@ class SMCConfig:
     # loglik = (logp(x, phi) - logprior(x)) / phi (sampler._recover_loglik):
     # the division amplifies the f32 rounding of the cached log-density by
     # 1/phi, so below this temperature the sampler re-evaluates loglik_batch
-    # directly (a lax.cond — only the taken branch runs, so iterations with
-    # phi >= the threshold pay nothing). 0.0 disables the guard (round-2
-    # behavior). Only relevant with tempering; a peaked likelihood drives
-    # phi_0 to ~1e-4 where the amplified error would otherwise enter the
-    # phi=1 reweights unscaled.
+    # directly. Applies ONLY on the tempered non-asymptotic path, where the
+    # recovered value enters the phi=1 reweights unscaled (a peaked
+    # likelihood drives phi_0 to ~1e-4 there); the asymptotic path consumes
+    # loglik through phi-scaled differences where the amplification cancels,
+    # and skips the guard — important because under vmapped Monte-Carlo
+    # batches the guard's lax.cond lowers to a both-branches select. 0.0
+    # disables (round-2 behavior).
     cached_loglik_min_phi: float = 1e-2
 
     def __post_init__(self):

@@ -57,9 +57,11 @@ class Supervisor:
     worker must be idempotent-with-checkpoint: attempt > 0 re-runs the same
     program, which resumes from the checkpoint it wrote before the crash.
 
-    Worker stdout/stderr are drained only after exit, so workers should keep
-    their output small (a pipe-buffer's worth); chatty workloads should log
-    to files instead.
+    Worker stdout/stderr stream to per-worker temp files (a pipe would fill
+    and deadlock a chatty worker — JAX warnings alone can exceed a pipe
+    buffer), read back into Incarnation.outputs after the gang settles.
+    `timeout` is PER INCARNATION: a slow first attempt must not starve the
+    restarts this class exists to provide.
     """
 
     def __init__(self, make_cmd, n_processes: int, env=None,
@@ -77,22 +79,28 @@ class Supervisor:
     def run(self, timeout: float = 600.0) -> Incarnation:
         """Run until one incarnation of the gang exits fully clean; returns
         it. Raises RuntimeError after max_restarts failed relaunches or
-        TimeoutError if an incarnation neither finishes nor fails in time."""
-        deadline = time.monotonic() + timeout
+        TimeoutError if an incarnation neither finishes nor fails within its
+        own `timeout` budget."""
+        import tempfile
+
         for attempt in range(self.max_restarts + 1):
             coordinator = (
                 f"{self.coordinator_host}:{free_port(self.coordinator_host)}"
             )
+            logs = [
+                tempfile.TemporaryFile(mode="w+")
+                for _ in range(self.n_processes)
+            ]
             procs = [
                 subprocess.Popen(
                     self.make_cmd(pid, coordinator, attempt),
                     env=self.env, cwd=self.cwd, text=True,
-                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    stdout=logs[pid], stderr=subprocess.STDOUT,
                 )
                 for pid in range(self.n_processes)
             ]
             inc = Incarnation(coordinator=coordinator)
-            failed = self._poll_gang(procs, deadline)
+            failed = self._poll_gang(procs, time.monotonic() + timeout)
             if failed:
                 # Terminate survivors by exact pid; their collectives are
                 # stalled on the dead peer and will never finish on their own.
@@ -105,10 +113,10 @@ class Supervisor:
                     except subprocess.TimeoutExpired:
                         p.kill()
                         p.wait()
-            for p in procs:
-                out = p.stdout.read() if p.stdout else ""
-                p.stdout and p.stdout.close()
-                inc.outputs.append(out)
+            for p, log in zip(procs, logs):
+                log.seek(0)
+                inc.outputs.append(log.read())
+                log.close()
                 inc.returncodes.append(p.returncode)
             self.incarnations.append(inc)
             if inc.ok:

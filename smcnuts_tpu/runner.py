@@ -25,6 +25,17 @@ from .sampler import SMCResult, _make_step, finalize, init_state
 from .utils.checkpoint import load_checkpoint, save_checkpoint
 
 
+def _to_host(leaf):
+    """np.asarray that tolerates leaves sharded across processes (history
+    series under a multi-process particle mesh): collective gather, so every
+    process of a jax.distributed gang must reach this point together."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 class ChunkedRunner:
     def __init__(self, model: Model, cfg: SMCConfig, checkpoint_path=None,
                  chunk_size=10, sample_proposal=None, momentum_proposal=None,
@@ -79,7 +90,7 @@ class ChunkedRunner:
         while k_done < cfg.n_iterations:
             length = min(self.chunk_size, cfg.n_iterations - k_done)
             carry, outs = self._chunk(carry, k_done, length)
-            outs = jax.tree.map(np.asarray, outs)
+            outs = jax.tree.map(_to_host, outs)
             for name, arr in outs.items():
                 diags.setdefault(name, []).append(arr)
             k_done += length

@@ -107,9 +107,18 @@ def _recover_loglik(model, phi, logp_at_phi, positions, min_phi):
     in practice that is ~300x, and a more peaked likelihood gives a smaller
     phi and worse error, which then enters the phi=1 reweights unscaled.
     Below `min_phi` the recovery therefore falls back to a direct
-    `loglik_batch` evaluation. `lax.cond` inside the (un-vmapped) scan body
-    executes only ONE branch at runtime on TPU, so the direct evaluation
-    costs nothing on the iterations where phi >= min_phi.
+    `loglik_batch` evaluation.
+
+    Cost note: in an un-vmapped run the `lax.cond` executes only the taken
+    branch, so iterations with phi >= min_phi pay nothing. Under vmapped
+    Monte-Carlo batches the predicate is batched and the cond lowers to a
+    select that evaluates BOTH branches every iteration — which is why the
+    sampler requests this guard ONLY on the tempered non-asymptotic path,
+    where the recovered loglik enters the phi=1 reweight unscaled. The
+    asymptotic path consumes loglik only through phi-scaled differences
+    ((phi' - phi) * loglik and the bisection objective), where the 1/phi
+    amplification cancels to O(eps * phi'/phi), so it skips the guard and
+    keeps its zero-model-reeval property on every execution path.
     """
     cached = (logp_at_phi - model.logprior_batch(positions)) / phi
     if min_phi <= 0.0:
@@ -286,20 +295,27 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         # The tempered identity logp(x, phi) = logprior(x) + phi*loglik(x)
         # recovers the untempered log-likelihood at both endpoints from the
         # tree-cached log-densities with only an O(D) logprior evaluation —
-        # no full model re-evaluation anywhere in the iteration body. Valid
-        # because phi > 0 always: tempering starts from a bisection result in
-        # (0, 1], and the non-tempered path runs at phi = 1. Below
-        # cfg.cached_loglik_min_phi the 1/phi error amplification makes the
-        # cache unusable and _recover_loglik re-evaluates directly.
-        def cached_loglik(logp_at_phi, positions):
+        # no full model re-evaluation anywhere in the iteration body (one
+        # guarded exception below). Valid because phi > 0 always: tempering
+        # starts from a bisection result in (0, 1], and the non-tempered
+        # path runs at phi = 1. On the tempered NON-asymptotic path the
+        # recovered value enters the phi=1 reweight unscaled, so below
+        # cfg.cached_loglik_min_phi it falls back to a direct evaluation
+        # (see _recover_loglik, incl. the vmap cost analysis); the
+        # asymptotic path consumes loglik only through phi-scaled
+        # differences where the amplification cancels, so it never guards.
+        def cached_loglik(logp_at_phi, positions, guard=False):
             return _recover_loglik(
                 model, phi, logp_at_phi, positions,
-                cfg.cached_loglik_min_phi,
+                cfg.cached_loglik_min_phi if guard else 0.0,
             )
 
         # 7: next temperature from the proposed positions.
         if cfg.tempering or cfg.is_asymptotic:
-            loglik_new = cached_loglik(logp_new_phi, x_new)
+            loglik_new = cached_loglik(
+                logp_new_phi, x_new,
+                guard=cfg.tempering and not cfg.is_asymptotic,
+            )
         if cfg.tempering:
             phi_next = next_temperature(
                 loglik_new, phi, n, alpha=cfg.tempering_alpha
@@ -331,7 +347,7 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                     model.logprior_batch(x_new) + loglik_new
                 )
                 logp_old_1 = model.logprior_batch(x_r) + cached_loglik(
-                    tree_stats["logp0"], x_r
+                    tree_stats["logp0"], x_r, guard=True
                 )
             logw_new = (
                 logw_r

@@ -1288,23 +1288,35 @@ class _ParamSpec:
             norm2 = jnp.sum(u * u)
             c = u / jnp.sqrt(norm2)
             return c, -0.5 * norm2
-        if self.lower is not None and self.upper is not None:
-            span = self.upper - self.lower
-            c = self.lower + span * jax.nn.sigmoid(u)
-            jac = jnp.sum(
-                jnp.log(span) + jax.nn.log_sigmoid(u) + jax.nn.log_sigmoid(-u)
-            )
-        elif self.lower is not None:
-            c = self.lower + jnp.exp(u)
-            jac = jnp.sum(u)
-        elif self.upper is not None:
-            c = self.upper - jnp.exp(u)
-            jac = jnp.sum(u)
-        else:
-            c, jac = u, jnp.asarray(0.0, dtype=u.dtype)
+        c, jac_e = self._bounded(u)
+        jac = (
+            jnp.asarray(0.0, dtype=u.dtype)
+            if jac_e is None
+            else jnp.sum(jac_e)
+        )
         if not self.sizes:
             return c[0], jac
         return c.reshape(self.sizes), jac
+
+    def _bounded(self, u):
+        """Elementwise scalar-bound transform shared by `constrain` (array
+        slice) and `constrain_seq` (single scalar): (constrained, per-element
+        log-Jacobian or None when unbounded). One copy only — the XLA path
+        and the forward-mode Pallas tile path must never drift."""
+        if self.lower is not None and self.upper is not None:
+            span = self.upper - self.lower
+            c = self.lower + span * jax.nn.sigmoid(u)
+            jac = (
+                jnp.log(span)
+                + jax.nn.log_sigmoid(u)
+                + jax.nn.log_sigmoid(-u)
+            )
+            return c, jac
+        if self.lower is not None:
+            return self.lower + jnp.exp(u), u
+        if self.upper is not None:
+            return self.upper - jnp.exp(u), u
+        return u, None
 
     def constrain_seq(self, us):
         """Like `constrain`, but from a SEQUENCE of scalar coordinates —
@@ -1316,23 +1328,9 @@ class _ParamSpec:
         (their transform mixes coordinates anyway)."""
         if self.sizes:
             return self.constrain(jnp.stack([jnp.asarray(u) for u in us]))
-        u = us[0]
-        if self.lower is not None and self.upper is not None:
-            span = self.upper - self.lower
-            c = self.lower + span * jax.nn.sigmoid(u)
-            jac = (
-                jnp.log(span)
-                + jax.nn.log_sigmoid(u)
-                + jax.nn.log_sigmoid(-u)
-            )
-        elif self.lower is not None:
-            c = self.lower + jnp.exp(u)
-            jac = u
-        elif self.upper is not None:
-            c = self.upper - jnp.exp(u)
-            jac = u
-        else:
-            c, jac = u, jnp.asarray(0.0, dtype=float)
+        c, jac = self._bounded(us[0])
+        if jac is None:
+            jac = jnp.asarray(0.0, dtype=float)
         return c, jac
 
     def names(self):
@@ -1409,9 +1407,14 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
 
 def _max_static_loop_length(blocks, env) -> int:
     """Longest static `for` trip count reachable in the given statement
-    blocks (nested loops multiply). Bounds are evaluated against the data
-    env; anything non-static counts as 0 (such loops fail elsewhere first).
-    Drives the tile-adapter autodiff-mode choice below."""
+    blocks (nested loops multiply), INCLUDING every user-function body (a
+    recurrence factored into a `functions` helper must still select forward
+    mode) and counting any `while` as long (its trip count is unknowable
+    statically; forward mode is the memory-safe direction — a false
+    "forward" costs D compile passes, a false "reverse" blows VMEM).
+    Bounds are evaluated against the data env; anything non-static counts
+    as 0 (such loops fail elsewhere first). Drives the tile-adapter
+    autodiff-mode choice below."""
     interp = _Interp(dict(env))
 
     def expr_len(s: For) -> int:
@@ -1428,11 +1431,19 @@ def _max_static_loop_length(blocks, env) -> int:
             if isinstance(st, For):
                 inner = walk(st.body)
                 best = max(best, expr_len(st) * max(1, inner))
+            elif isinstance(st, While):
+                best = max(best, 1 << 16, walk(st.body))
             elif isinstance(st, If):
                 best = max(best, walk(st.then), walk(st.other))
         return best
 
-    return max((walk(b) for b in blocks), default=0)
+    fn_bodies = [
+        f.body for f in env.get("__functions__", {}).values()
+        if isinstance(f, FuncDef)
+    ]
+    return max(
+        (walk(b) for b in tuple(blocks) + tuple(fn_bodies)), default=0
+    )
 
 
 def compile_stan_program(source: str, data: dict, name: str = "stan",

@@ -9,7 +9,6 @@ hardware — the same initialize/mesh/run_smc path scales to a pod slice.
 """
 
 import os
-import socket
 import subprocess
 import sys
 
@@ -44,10 +43,7 @@ print(f"proc {process_id}/{process_count} OK mean={mean[-1]}")
 """
 
 
-def _free_port():
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+from smcnuts_tpu.parallel.elastic import free_port as _free_port
 
 
 @pytest.mark.slow
