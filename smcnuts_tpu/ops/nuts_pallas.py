@@ -659,52 +659,164 @@ def tile_model_from_logp(logp_fn, dim, extra=()) -> TileModel:
     )
 
 
-def tile_model_from_logp_fwd(logp_fn, dim, extra=()) -> TileModel:
+def _cse_jaxpr(jaxpr):
+    """Local value numbering over a (flat, effect-free) jaxpr: equations
+    with the same primitive, operands, and params collapse to one. The
+    forward-mode adapter's D sequential jvp passes each re-trace the model's
+    primal chain; Mosaic does not fold the duplicates (measured 2.37x the
+    hand kernel's leaf time for arma), so they are folded HERE, before
+    lowering — the kernel then carries one primal chain plus the D true
+    tangent chains, the hand kernels' structure."""
+    subst = {}
+
+    def res(v):
+        return v if isinstance(v, jax.extend.core.Literal) else subst.get(v, v)
+
+    def key_of(v):
+        if isinstance(v, jax.extend.core.Literal):
+            val = v.val
+            if np.ndim(val) == 0:
+                return ("lit", str(np.asarray(val).dtype),
+                        np.asarray(val).tobytes())
+            return ("litobj", id(v))
+        return ("var", id(v))
+
+    def lit_scalar(v):
+        if isinstance(v, jax.extend.core.Literal) and np.ndim(v.val) == 0:
+            try:
+                return float(v.val)
+            except (TypeError, ValueError):
+                return None
+        return None
+
+    def same_aval(v, outvar):
+        aval = getattr(v, "aval", None)
+        return (
+            aval is not None
+            and aval.shape == outvar.aval.shape
+            and aval.dtype == outvar.aval.dtype
+        )
+
+    seen = {}
+    new_eqns = []
+    for eqn in jaxpr.eqns:
+        invars = [res(v) for v in eqn.invars]
+        if eqn.effects:
+            new_eqns.append(eqn.replace(invars=invars))
+            continue
+        # Algebraic identities (x-0, x+0, 0+x, x*1, 1*x, x/1): the
+        # scalarized normal_lpdf sufficient-statistic form emits
+        # `elem - 0.0` per recurrence step (and its tangent twin).
+        name = eqn.primitive.name
+        if name in ("add", "sub", "mul", "div") and len(invars) == 2 and (
+            len(eqn.outvars) == 1
+        ):
+            ident = 0.0 if name in ("add", "sub") else 1.0
+            out = eqn.outvars[0]
+            if lit_scalar(invars[1]) == ident and same_aval(invars[0], out):
+                subst[out] = invars[0]
+                continue
+            if (
+                name in ("add", "mul")
+                and lit_scalar(invars[0]) == ident
+                and same_aval(invars[1], out)
+            ):
+                subst[out] = invars[1]
+                continue
+        try:
+            pkey = tuple(
+                sorted((k, repr(v)) for k, v in eqn.params.items())
+            )
+            key = (eqn.primitive, tuple(key_of(v) for v in invars), pkey)
+            hash(key)
+        except Exception:
+            new_eqns.append(eqn.replace(invars=invars))
+            continue
+        hit = seen.get(key)
+        if hit is not None:
+            for ov, rep in zip(eqn.outvars, hit):
+                subst[ov] = rep
+            continue
+        new_eqns.append(eqn.replace(invars=invars))
+        seen[key] = list(eqn.outvars)
+    return jaxpr.replace(
+        eqns=new_eqns, outvars=[res(v) for v in jaxpr.outvars]
+    )
+
+
+def _cse_call(fn, *args):
+    """Trace `fn`, CSE its jaxpr, and re-emit the deduplicated ops into the
+    surrounding trace (works inside a Pallas kernel body)."""
+    from jax.tree_util import tree_flatten, tree_unflatten
+
+    closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*args)
+    jaxpr = _cse_jaxpr(closed.jaxpr)
+    flat_args, _ = tree_flatten(args)
+    out_flat = jax.core.eval_jaxpr(jaxpr, closed.consts, *flat_args)
+    _, out_tree = tree_flatten(out_shape)
+    return tree_unflatten(out_tree, out_flat)
+
+
+def tile_model_from_logp_fwd(logp_seq_fn, dim, extra=()) -> TileModel:
     """Forward-mode generic in-kernel adapter: the long-recurrence
     counterpart of `tile_model_from_logp`.
 
-    The reverse-mode adapter stores every intermediate of the unrolled model
-    body as a VJP residual, which walls at ~40 recurrence steps on v5e (the
-    T=200 arma spills 594 MB of register-allocator slots — see
-    tile_model_from_logp). This adapter instead takes D sequential
-    `jax.jvp` passes, one per unconstrained coordinate: each pass interleaves
-    the primal recurrence with ITS tangent recurrence, so the live state is
-    O(1) in the recurrence length — machine-generated exactly the
-    primal-plus-D-tangent-chains structure the hand kernels write by hand
-    (arma_tile_model's err/emu/eb/eth chains).
+    `logp_seq_fn(coords, phi) -> scalar` takes the unconstrained coordinates
+    as a SEQUENCE of scalars, not a stacked (D,) vector. That contract is
+    what makes forward mode viable: each of the D sequential `jax.jvp`
+    passes differentiates with respect to ONE coordinate while the other
+    D-1 ride the closure as constants, so their tangents stay SYMBOLIC
+    zeros all the way through the model body and JAX prunes every tangent
+    op outside that coordinate's dependency cone. (A stacked-vector contract
+    silently densifies: `jnp.stack`'s JVP instantiates the symbolic-zero
+    components into a dense (D, 8, 128) tangent, and the whole unrolled
+    recurrence then carries D-wide tangents per pass — D^2 dense chains and
+    a Mosaic compile blow-up, measured >55 min for the T=200 arma versus the
+    hand kernel's ~30 s.)
 
-    Two documented dead ends this sidesteps: (a) jax.jacfwd pushes all D
-    tangents as one vmapped (D, 8, 128) batch, whose cross-lane relayouts
-    made a T=40 body compile >60 min in Mosaic (vs ~2 min for this form);
-    (b) reverse mode's residuals, the VMEM wall itself. Each coordinate's
-    pass closes over the other D-1 coordinates as constants, so JAX's
-    symbolic-zero propagation prunes every tangent op outside that
-    coordinate's dependency cone — the tangent work is the true dependency
-    structure, not D^2 dense chains. The D duplicated primal chains are
-    textually identical subgraphs that MLIR CSE folds; even un-CSE'd they
-    bound the overhead at (D+1)x the primal, with no memory growth.
+    Each pass interleaves the primal recurrence with its tangent recurrence,
+    so the live state is O(1) in the recurrence length — machine-generated
+    exactly the primal-plus-D-tangent-chains structure the hand kernels
+    write by hand (arma_tile_model's err/emu/eb/eth chains). This sidesteps
+    both documented dead ends: reverse mode's O(T) VJP residuals (VMEM wall
+    at ~40 steps, 594 MB spill at T=200) and jax.jacfwd's batched-tangent
+    relayouts. The D duplicated primal chains are identical subgraphs that
+    MLIR CSE folds; even un-CSE'd they bound the overhead at (D+1)x the
+    primal, with no memory growth.
     """
 
-    def tile_fn(extra_refs, x_tiles, phi):
-        del extra_refs  # data lives in logp_fn's closure as constants
-        x_tiles = list(x_tiles)
-        shape = x_tiles[0].shape
-        phi_t = jnp.broadcast_to(
-            jnp.asarray(phi, x_tiles[0].dtype), shape
-        )
-        lanes = jax.vmap(logp_fn, in_axes=(-1, -1), out_axes=-1)
-        tiles = jax.vmap(lanes, in_axes=(1, 0), out_axes=0)
-        ones = jnp.ones(shape, x_tiles[0].dtype)
+    def scalar_fn(*args):
+        return logp_seq_fn(args[:dim], args[dim])
+
+    axes = (-1,) * (dim + 1)
+    lanes = jax.vmap(scalar_fn, in_axes=axes, out_axes=-1)
+    tiles = jax.vmap(lanes, in_axes=(0,) * (dim + 1), out_axes=0)
+
+    def all_passes(x_tiles, phi_t):
+        ones = jnp.ones(phi_t.shape, phi_t.dtype)
         logp = None
         grads = []
         for d in range(dim):
             def f_d(td, d=d):
-                th = [td if i == d else x_tiles[i] for i in range(dim)]
-                return tiles(jnp.stack(th), phi_t)
+                args = [
+                    td if i == d else x_tiles[i] for i in range(dim)
+                ]
+                return tiles(*args, phi_t)
 
             logp, g_d = jax.jvp(f_d, (x_tiles[d],), (ones,))
             grads.append(g_d)
         return logp, grads
+
+    def tile_fn(extra_refs, x_tiles, phi):
+        del extra_refs  # data lives in logp_seq_fn's closure as constants
+        x_tiles = list(x_tiles)
+        phi_t = jnp.broadcast_to(
+            jnp.asarray(phi, x_tiles[0].dtype), x_tiles[0].shape
+        )
+        # CSE across the D passes: each jvp re-traces the full primal chain;
+        # folding the duplicates here (not relying on Mosaic) restores the
+        # one-primal + D-tangent-chains structure.
+        return _cse_call(all_passes, x_tiles, phi_t)
 
     return TileModel(
         dim=dim, extra=tuple(extra), tile_fn=tile_fn, autodiff="forward"

@@ -421,3 +421,37 @@ def test_statistical_agreement_with_xla(setup):
     sp, sx = np.asarray(x_pal).std(0), np.asarray(x_xla).std(0)
     np.testing.assert_allclose(mp, mx, atol=4 * sx.max() / np.sqrt(n))
     np.testing.assert_allclose(sp, sx, rtol=0.35)
+
+
+def test_cse_jaxpr_folds_duplicates_and_identities():
+    """The forward-mode adapter's jaxpr CSE (ops/nuts_pallas._cse_call):
+    duplicate chains fold, x-0/x*1 identities drop, values are unchanged."""
+    from smcnuts_tpu.ops.nuts_pallas import _cse_call
+
+    def f(x, y):
+        a = jnp.exp(x) * y + jnp.sin(x)
+        b = jnp.exp(x) * y + jnp.sin(x)  # duplicate of a
+        c = (x - 0.0) * 1.0 + 0.0        # identities
+        return a + b, c
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 128)),
+                    jnp.float32)
+    y = jnp.asarray(0.7, jnp.float32)
+    ref = jax.jit(f)(x, y)
+    got = jax.jit(lambda x, y: _cse_call(f, x, y))(x, y)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+    n_plain = len(jax.make_jaxpr(f)(x, y).jaxpr.eqns)
+    n_cse = len(
+        jax.make_jaxpr(lambda x, y: _cse_call(f, x, y))(x, y).jaxpr.eqns
+    )
+    assert n_cse < n_plain, (n_cse, n_plain)
+    # a == b must have collapsed: only ONE exp survives.
+    prims = [
+        str(e.primitive)
+        for e in jax.make_jaxpr(lambda x, y: _cse_call(f, x, y))(
+            x, y
+        ).jaxpr.eqns
+    ]
+    assert prims.count("exp") == 1, prims
