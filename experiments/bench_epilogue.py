@@ -55,6 +55,8 @@ def main(argv=None):
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--step-size", type=float, default=0.01)
     p.add_argument("--backends", nargs="+", default=["pallas", "xla"])
+    p.add_argument("--output", default=None,
+                   help="also write the decomposition JSON here")
     args = p.parse_args(argv)
     model = get_model(args.model)
     out = {"model": args.model, "N": args.particles, "K": args.iterations,
@@ -70,6 +72,11 @@ def main(argv=None):
         )
         print(json.dumps(out["rows"][-1]), flush=True)
     print(json.dumps(out))
+    if args.output:
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)),
+                    exist_ok=True)
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

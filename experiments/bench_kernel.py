@@ -34,8 +34,9 @@ from smcnuts_tpu.utils.timing import fresh_key, materialize
 
 
 def measure(model_name, n=512, iters=50, max_depth=10, step=0.01,
-            repeats=3, warm_iters=10):
-    model = get_model(model_name)
+            repeats=3, warm_iters=10, model=None):
+    if model is None:
+        model = get_model(model_name)
     tm = model.tile_model
     assert tm is not None, f"{model_name} has no tile model"
     d = model.dim
@@ -107,13 +108,25 @@ def measure(model_name, n=512, iters=50, max_depth=10, step=0.01,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="prmwcd")
+    p.add_argument("--stan", default=None,
+                   help="bench a frontend-compiled .stan instead (tile=True "
+                   "kernel, e.g. the forward-mode generated arma); pair "
+                   "with --data")
+    p.add_argument("--data", default=None)
     p.add_argument("-N", "--particles", type=int, default=512)
     p.add_argument("-K", "--iters", type=int, default=50)
     p.add_argument("--max-tree-depth", type=int, default=10)
     p.add_argument("--step-size", type=float, default=0.01)
     args = p.parse_args(argv)
-    out = measure(args.model, args.particles, args.iters,
-                  args.max_tree_depth, args.step_size)
+    model = None
+    name = args.model
+    if args.stan:
+        from smcnuts_tpu.stan import compile_stan_file
+
+        model = compile_stan_file(args.stan, data=args.data, tile=True)
+        name = f"stan:{model.name}:{model.tile_model.autodiff}"
+    out = measure(name, args.particles, args.iters,
+                  args.max_tree_depth, args.step_size, model=model)
     print(json.dumps(out))
 
 
