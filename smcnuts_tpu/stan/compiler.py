@@ -1405,19 +1405,119 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
     return env, has_phi
 
 
-def _max_static_loop_length(blocks, env) -> int:
-    """Longest static `for` trip count reachable in the given statement
-    blocks (nested loops multiply), INCLUDING every user-function body (a
-    recurrence factored into a `functions` helper must still select forward
-    mode) and counting any `while` as long (its trip count is unknowable
-    statically; forward mode is the memory-safe direction — a false
-    "forward" costs D compile passes, a false "reverse" blows VMEM).
-    Bounds are evaluated against the data env; anything non-static counts
-    as 0 (such loops fail elsewhere first). Drives the tile-adapter
-    autodiff-mode choice below."""
+def _body_has_carried_dep(body, loopvar) -> bool:
+    """Does a loop body carry state across iterations? True when some
+    container assigned in the body is read at a LAGGED index (err[t-1]), or
+    some scalar assigned in the body is read before its first write of the
+    iteration (e = y[t] - a*e; acc += ...). A fresh per-iteration temp
+    (temp = ...; temp += ... — PRMwCD's inner-product idiom) is NOT carried.
+    Unanalyzable constructs answer True (forward mode is the safe
+    direction)."""
+    assigned, declared = set(), set()
+    try:
+        _walk_writes(body, assigned, declared)
+    except _ScanLoweringError:
+        return True
+    assigned = assigned | declared
+    written: set = set()
+    found = False
+
+    def reads(node):
+        nonlocal found
+        if found or node is None or isinstance(node, Num):
+            return
+        if isinstance(node, Var):
+            if node.name in assigned and node.name not in written:
+                found = True
+            return
+        if isinstance(node, Index):
+            if isinstance(node.base, Var) and node.base.name in assigned:
+                if len(node.indices) == 1:
+                    off = _match_loopvar_offset(node.indices[0], loopvar)
+                    if off is not None:
+                        if off < 0:
+                            found = True
+                        else:
+                            for i in node.indices:
+                                reads(i)
+                        return
+                found = True  # complex index into a written container
+                return
+            if not isinstance(node.base, Var):
+                reads(node.base)
+            for i in node.indices:
+                reads(i)
+            return
+        if isinstance(node, Unary):
+            reads(node.operand)
+        elif isinstance(node, Bin):
+            reads(node.left)
+            reads(node.right)
+        elif isinstance(node, Ternary):
+            reads(node.cond)
+            reads(node.then)
+            reads(node.other)
+        elif isinstance(node, Call):
+            for a in node.args:
+                reads(a)
+
+    def walk(stmts):
+        nonlocal found
+        for st in stmts if isinstance(stmts, (list, tuple)) else [stmts]:
+            if found:
+                return
+            if isinstance(st, list):
+                walk(st)
+            elif isinstance(st, Decl):
+                reads(st.init)
+                written.add(st.name)
+            elif isinstance(st, Assign):
+                reads(st.expr)
+                if st.op != "=":
+                    reads(st.lvalue)
+                lv = st.lvalue
+                if isinstance(lv, Var):
+                    written.add(lv.name)
+                elif isinstance(lv, Index):
+                    for i in lv.indices:
+                        reads(i)
+                    if isinstance(lv.base, Var):
+                        written.add(lv.base.name)
+            elif isinstance(st, TargetPlus):
+                reads(st.expr)
+            elif isinstance(st, Sampling):
+                reads(st.lhs)
+                for a in st.args:
+                    reads(a)
+            elif isinstance(st, For):
+                reads(st.lo)
+                reads(st.hi)
+                walk(st.body)
+            elif isinstance(st, If):
+                reads(st.cond)
+                # Branch writes may not execute; do not add them to
+                # `written` (conservative toward "carried").
+                walk(st.then)
+                walk(st.other)
+            elif isinstance(st, (While, Return, ExprStmt)):
+                found = True  # unanalyzable control flow / side effects
+
+    walk(body)
+    return found
+
+
+def _has_long_recurrence(blocks, env, threshold=48) -> bool:
+    """Is there a static `for` loop of more than `threshold` iterations
+    whose body carries state across iterations (a RECURRENCE)? This — not
+    loop length alone — is what forces the forward-mode tile adapter: a
+    long non-carried loop (PRMwCD's 100-observation sum) reverse-
+    differentiates fine (its residual live set is a short reduction), and
+    reverse costs one pass where forward costs D. Searches the given
+    blocks AND every user-function body; `while` counts as a recurrence
+    (unknowable trip count; forward is the safe direction)."""
     interp = _Interp(dict(env))
 
-    def expr_len(s: For) -> int:
+    def trip(s: For) -> int:
         try:
             lo = _require_int(interp.ev(s.lo), "loop bound")
             hi = _require_int(interp.ev(s.hi), "loop bound")
@@ -1425,25 +1525,30 @@ def _max_static_loop_length(blocks, env) -> int:
         except Exception:
             return 0
 
-    def walk(stmts) -> int:
-        best = 0
+    def walk(stmts) -> bool:
         for st in stmts if isinstance(stmts, (list, tuple)) else [stmts]:
-            if isinstance(st, For):
-                inner = walk(st.body)
-                best = max(best, expr_len(st) * max(1, inner))
+            if isinstance(st, list):
+                if walk(st):
+                    return True
+            elif isinstance(st, For):
+                if trip(st) > threshold and _body_has_carried_dep(
+                    st.body, st.var
+                ):
+                    return True
+                if walk(st.body):
+                    return True
             elif isinstance(st, While):
-                best = max(best, 1 << 16, walk(st.body))
+                return True
             elif isinstance(st, If):
-                best = max(best, walk(st.then), walk(st.other))
-        return best
+                if walk(st.then) or walk(st.other):
+                    return True
+        return False
 
     fn_bodies = [
         f.body for f in env.get("__functions__", {}).values()
         if isinstance(f, FuncDef)
     ]
-    return max(
-        (walk(b) for b in tuple(blocks) + tuple(fn_bodies)), default=0
-    )
+    return any(walk(b) for b in tuple(blocks) + tuple(fn_bodies))
 
 
 def compile_stan_program(source: str, data: dict, name: str = "stan",
@@ -1470,10 +1575,13 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
       (ops/nuts_pallas.tile_model_from_logp_fwd) — O(1) live state in the
       recurrence length, the machine-generated analog of the hand kernels'
       fused tangent recurrences; cost scales with the parameter count D.
-    - "auto" (default): forward when the model/TP blocks contain a static
-      loop of more than 48 iterations (the regime where reverse-mode
-      residuals threaten VMEM), reverse otherwise (one pass beats D passes
-      for loopless or short-loop, wide-D targets like PRMwCD).
+    - "auto" (default): forward when the model/TP blocks (or any user
+      function body) contain a long static loop that CARRIES state across
+      iterations — a recurrence, the regime where reverse mode's reversed
+      serial chain blows up in Mosaic — and reverse otherwise. Loop length
+      alone is not the discriminator: a long NON-carried loop (PRMwCD's
+      100-observation sum, where `temp` is freshly assigned each step)
+      reverse-differentiates fine and one pass beats D.
     """
     prog = parse(source)
     if "parameters" not in prog.blocks:
@@ -1653,10 +1761,11 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             return t + jac
 
         if tile_autodiff == "auto":
-            longest = _max_static_loop_length(
-                (tp_block, model_block), data_env
+            tile_autodiff = (
+                "forward"
+                if _has_long_recurrence((tp_block, model_block), data_env)
+                else "reverse"
             )
-            tile_autodiff = "forward" if longest > 48 else "reverse"
         if tile_autodiff == "forward":
             tile_model = tile_model_from_logp_fwd(logp_direct_seq, dim)
         elif tile_autodiff == "reverse":

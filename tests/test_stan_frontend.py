@@ -652,8 +652,10 @@ def test_stream_noncontiguous_lags_stay_scanned():
 
 
 def test_tile_autodiff_auto_selection():
-    """tile_autodiff='auto' picks forward mode for long static loops (the
-    reverse adapter's VMEM wall) and reverse mode otherwise."""
+    """tile_autodiff='auto' picks forward mode for long CARRIED loops —
+    recurrences, the reverse adapter's VMEM wall — and reverse mode for
+    short loops and long NON-carried loops (one vjp pass beats D jvp
+    passes when there is no recurrence)."""
     m_long = compile_stan_program(
         _RECURRENCE, _recurrence_data(T=200), name="rec200", tile=True
     )
@@ -1152,3 +1154,25 @@ def test_tile_autodiff_sees_function_and_while_loops():
     m = compile_stan_program(src_fn, {"T": 200, "y": y.tolist()},
                              name="fnrec", tile=True)
     assert m.tile_model.autodiff == "forward"
+
+
+def test_tile_autodiff_long_sum_loop_stays_reverse():
+    """A long loop WITHOUT carried state (the PRMwCD shape: fresh `temp`
+    per iteration, target-only accumulation) must stay on the one-pass
+    reverse adapter — loop length alone is not the forward trigger."""
+    src = """
+    data { int<lower=1> N; real x[N]; real phi; }
+    parameters { real b; }
+    model {
+      real temp;
+      for (i in 1:100) {
+        temp = b * x[i];
+        target += phi * (-0.5 * temp * temp);
+      }
+    }
+    """
+    m = compile_stan_program(
+        src, {"N": 100, "x": np.random.default_rng(0).normal(size=100).tolist()},
+        name="sumloop", tile=True,
+    )
+    assert m.tile_model.autodiff == "reverse"
