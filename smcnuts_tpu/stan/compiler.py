@@ -80,6 +80,7 @@ from .parser import (
     Index,
     Num,
     Program,
+    RangeIdx,
     Return,
     Sampling,
     StanSyntaxError,
@@ -389,15 +390,56 @@ class _Interp:
             )
         if isinstance(node, Index):
             base = self.ev(node.base)
-            idxs = [self.ev(i) for i in node.indices]
+            idxs = []
+            for i in node.indices:
+                if isinstance(i, RangeIdx):
+                    lo = 1 if i.lo is None else _require_int(
+                        self.ev(i.lo), "range index"
+                    )
+                    hi = None if i.hi is None else _require_int(
+                        self.ev(i.hi), "range index"
+                    )
+                    idxs.append(("range", lo, hi))
+                else:
+                    idxs.append(self.ev(i))
             return self._index_read(base, idxs)
         if isinstance(node, Call):
             return self._call(node)
         raise StanCompileError(f"cannot evaluate node {node!r}")
 
     def _index_read(self, base, idxs):
+        def is_range(i):
+            return isinstance(i, tuple) and i and i[0] == "range"
+
         if isinstance(base, _LocalArray):
-            return base.get([_require_int(i, "index") for i in idxs])
+            if not any(is_range(i) for i in idxs):
+                return base.get([_require_int(i, "index") for i in idxs])
+            if len(idxs) == 1 and len(base.dims) == 1:
+                # Keep the slice a container (element list), so scalarize
+                # mode and elementwise consumption stay stack-free.
+                _, lo, hi = idxs[0]
+                hi = base.dims[0] if hi is None else hi
+                if not 1 <= lo <= hi <= base.dims[0]:
+                    raise StanCompileError(
+                        f"range [{lo}:{hi}] out of bounds for dimension "
+                        f"{base.dims[0]}"
+                    )
+                out = _LocalArray([hi - lo + 1])
+                out.data = list(base.data[lo - 1 : hi])
+                return out
+            raise StanCompileError(
+                "range indexing on multi-dimensional local containers is "
+                "not supported"
+            )
+        if any(is_range(i) for i in idxs):
+            sel = []
+            for i in idxs:
+                if is_range(i):
+                    _, lo, hi = i
+                    sel.append(slice(lo - 1, hi))
+                else:
+                    sel.append(_require_int(i, "index") - 1)
+            return base[tuple(sel)]
         # numpy / jnp container: concrete 1-based indices
         out = base
         for i in idxs:
@@ -1167,6 +1209,10 @@ class _ScanInterp(_Interp):
         super()._assign(s)
 
     def _index_read(self, base, idxs):
+        if any(isinstance(i, tuple) for i in idxs):
+            # Range reads under a scan-lowered body: abort the lowering
+            # attempt (falls back to unrolling, where ranges are static).
+            raise _ScanLoweringError("range index inside scanned loop body")
         if all(_is_static_int(i) for i in idxs):
             return super()._index_read(base, idxs)
         arr = (

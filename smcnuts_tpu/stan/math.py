@@ -199,6 +199,10 @@ FUNCTIONS = {
     "log1m_inv_logit": lambda x: jax.nn.log_sigmoid(-_as_arr(x)),
     "log2": jnp.log2,
     "log10": jnp.log10,
+    # Container slicing (static sizes, as everywhere in this frontend).
+    "head": lambda v, n: _as_arr(v)[: int(n)],
+    "tail": lambda v, n: _as_arr(v)[-int(n):],
+    "segment": lambda v, i, n: _as_arr(v)[int(i) - 1 : int(i) - 1 + int(n)],
     "sqrt": jnp.sqrt,
     "square": lambda x: _as_arr(x) ** 2,
     "cbrt": jnp.cbrt,

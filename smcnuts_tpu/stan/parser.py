@@ -122,6 +122,15 @@ class Ternary:
 
 
 @dataclasses.dataclass
+class RangeIdx:
+    """1-based inclusive index range `lo:hi` inside brackets (Stan multiple
+    indexing, e.g. y[2:T]); lo/hi None = open end."""
+
+    lo: Any
+    hi: Any
+
+
+@dataclasses.dataclass
 class Index:
     base: Any
     indices: list
@@ -603,14 +612,29 @@ class _Parser:
             return Bin("^", base, self.parse_unary())
         return base
 
+    def parse_index_item(self):
+        if self.cur.text == ":":
+            self.advance()
+            hi = None
+            if self.cur.text not in ("]", ","):
+                hi = self.parse_expr()
+            return RangeIdx(None, hi)
+        e = self.parse_expr()
+        if self.accept(":"):
+            hi = None
+            if self.cur.text not in ("]", ","):
+                hi = self.parse_expr()
+            return RangeIdx(e, hi)
+        return e
+
     def parse_postfix(self):
         node = self.parse_primary()
         while True:
             if self.cur.text == "[":
                 self.advance()
-                idxs = [self.parse_expr()]
+                idxs = [self.parse_index_item()]
                 while self.accept(","):
-                    idxs.append(self.parse_expr())
+                    idxs.append(self.parse_index_item())
                 self.expect("]")
                 node = Index(node, idxs)
             elif self.cur.text == "'":

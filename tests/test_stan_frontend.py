@@ -1176,3 +1176,108 @@ def test_tile_autodiff_long_sum_loop_stays_reverse():
         name="sumloop", tile=True,
     )
     assert m.tile_model.autodiff == "reverse"
+
+
+def test_range_indexing():
+    """Stan multiple indexing y[a:b]: data slices, local-container slices
+    (kept per-element so the tile scalarize path stays stack-free), and the
+    vectorized AR(1) idiom y[2:T] ~ normal(b*y[1:(T-1)], s) must equal the
+    loop form."""
+    src_vec = """
+    data { int<lower=1> T; vector[T] y; real phi; }
+    parameters { real b; real<lower=0> s; }
+    model {
+      b ~ normal(0, 1);
+      target += phi * normal_lpdf(y[2:T] | b * y[1:(T-1)], s);
+    }
+    """
+    src_loop = """
+    data { int<lower=1> T; vector[T] y; real phi; }
+    parameters { real b; real<lower=0> s; }
+    model {
+      b ~ normal(0, 1);
+      for (t in 2:T) { target += phi * normal_lpdf(y[t] | b * y[t-1], s); }
+    }
+    """
+    T = 30
+    y = np.random.default_rng(2).normal(size=T)
+    data = {"T": T, "y": y.tolist()}
+    mv = compile_stan_program(src_vec, data, name="v")
+    ml = compile_stan_program(src_loop, data, name="l")
+    for b, ls in ((0.4, -0.5), (-0.2, 0.1)):
+        th = jnp.asarray([b, ls], jnp.float32)
+        np.testing.assert_allclose(
+            float(mv.logp(th, 0.7)), float(ml.logp(th, 0.7)), rtol=1e-5
+        )
+        gv = jax.grad(lambda t: mv.logp(t, 0.7))(th)
+        gl = jax.grad(lambda t: ml.logp(t, 0.7))(th)
+        np.testing.assert_allclose(
+            np.asarray(gv), np.asarray(gl), rtol=1e-4, atol=1e-5
+        )
+
+    # Local-container slice read stays a container: open-ended ranges too.
+    src_local = """
+    data { int<lower=1> T; vector[T] y; real phi; }
+    parameters { real a; real<lower=0> s; }
+    model {
+      vector[T] e;
+      e[1] = y[1];
+      for (t in 2:T) { e[t] = y[t] - a * e[t-1]; }
+      target += phi * normal_lpdf(e[2:] | 0, s);
+    }
+    """
+    m = compile_stan_program(src_local, data, name="lc", tile=True)
+    th = jnp.asarray([0.3, -0.2], jnp.float32)
+    # manual check: slice skips e[1]; logprior is just the <lower=0>
+    # exp-transform Jacobian of s (the model block has no prior statements).
+    e = np.empty(T)
+    e[0] = y[0]
+    for t in range(1, T):
+        e[t] = y[t] - 0.3 * e[t - 1]
+    s = float(np.exp(-0.2))
+    from scipy.stats import norm
+
+    want = -0.2 + 0.7 * float(norm(0, s).logpdf(e[1:]).sum())
+    np.testing.assert_allclose(float(m.logp(th, 0.7)), want, rtol=1e-5)
+    # tile path (scalarized slice) agrees as well
+    tiles = [jnp.full((8, 128), v, jnp.float32) for v in (0.3, -0.2)]
+    lp, _ = m.tile_model.tile_fn(
+        (), tiles, jnp.full((8, 128), 0.7, jnp.float32)
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(lp)[0, 0]), want, rtol=1e-4
+    )
+
+    # Range writes are rejected loudly.
+    with pytest.raises((StanCompileError, StanSyntaxError)):
+        compile_stan_program(
+            "parameters { real a; } model { vector[3] v; v[1:2] = a; "
+            "target += v[1]; }",
+            {},
+        )
+
+
+def test_head_tail_segment():
+    src = """
+    data { int<lower=1> T; vector[T] y; }
+    parameters { real m; }
+    model {
+      target += normal_lpdf(head(y, 3) | m, 1)
+              + normal_lpdf(tail(y, 2) | m, 1)
+              + normal_lpdf(segment(y, 2, 3) | m, 1);
+    }
+    """
+    T = 8
+    y = np.random.default_rng(1).normal(size=T)
+    m = compile_stan_program(src, {"T": T, "y": y.tolist()}, name="hts")
+    from scipy.stats import norm
+
+    mv = 0.4
+    want = (
+        norm(mv, 1).logpdf(y[:3]).sum()
+        + norm(mv, 1).logpdf(y[-2:]).sum()
+        + norm(mv, 1).logpdf(y[1:4]).sum()
+    )
+    np.testing.assert_allclose(
+        float(m.logp(jnp.asarray([mv], jnp.float32), 1.0)), want, rtol=1e-5
+    )
