@@ -181,6 +181,56 @@ ELEMENTWISE_DENSITIES = {
 DISTRIBUTIONS = {k: _lp(v) for k, v in ELEMENTWISE_DENSITIES.items()}
 
 
+# ---- joint (non-elementwise) densities ----
+# These take whole vectors/matrices and are NOT wrapped by _lp (no
+# broadcast-and-sum semantics) and not scalarizable by the tile path (the
+# compiler's _dist_scalarized only consults ELEMENTWISE_DENSITIES).
+
+def _multi_normal(y, mu, sigma):
+    y = jnp.asarray(y, dtype=float)
+    d = y.shape[-1]
+    chol = jnp.linalg.cholesky(jnp.asarray(sigma, dtype=float))
+    z = jax.scipy.linalg.solve_triangular(
+        chol, y - jnp.asarray(mu, dtype=float), lower=True
+    )
+    return (
+        -0.5 * jnp.sum(z * z)
+        - jnp.sum(jnp.log(jnp.diagonal(chol)))
+        - d * LOG_SQRT_2PI
+    )
+
+
+def _multi_normal_cholesky(y, mu, chol):
+    y = jnp.asarray(y, dtype=float)
+    d = y.shape[-1]
+    chol = jnp.asarray(chol, dtype=float)
+    z = jax.scipy.linalg.solve_triangular(
+        chol, y - jnp.asarray(mu, dtype=float), lower=True
+    )
+    return (
+        -0.5 * jnp.sum(z * z)
+        - jnp.sum(jnp.log(jnp.diagonal(chol)))
+        - d * LOG_SQRT_2PI
+    )
+
+
+def _dirichlet(theta, alpha):
+    theta = jnp.asarray(theta, dtype=float)
+    alpha = jnp.asarray(alpha, dtype=float)
+    return (
+        jnp.sum((alpha - 1.0) * jnp.log(theta))
+        + jax.lax.lgamma(jnp.sum(alpha))
+        - jnp.sum(jax.lax.lgamma(alpha))
+    )
+
+
+DISTRIBUTIONS.update(
+    multi_normal=_multi_normal,
+    multi_normal_cholesky=_multi_normal_cholesky,
+    dirichlet=_dirichlet,
+)
+
+
 # ---- scalar / container builtins ----
 
 def _as_arr(x):
