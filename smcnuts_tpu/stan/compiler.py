@@ -458,7 +458,18 @@ class _Interp:
             return l + r
         if op == "-":
             return l - r
-        if op in ("*", ".*"):
+        if op == "*":
+            # Stan `*` is LINEAR-ALGEBRA multiplication when a matrix is
+            # involved (matrix*matrix, matrix*vector, row_vector*matrix);
+            # `.*` below is the elementwise form. Rank-1 * rank-1 stays
+            # elementwise (Stan rejects it outright; the relaxed behavior
+            # is a deliberate extension and what scalar code paths expect).
+            lnd = getattr(l, "ndim", 0)
+            rnd = getattr(r, "ndim", 0)
+            if lnd >= 1 and rnd >= 1 and (lnd == 2 or rnd == 2):
+                return l @ r
+            return l * r
+        if op == ".*":
             return l * r
         if op in ("/", "./"):
             if both_int:
@@ -1266,7 +1277,8 @@ class _ScanInterp(_Interp):
 # ------------------------------------------------------------ param packing
 
 
-_VEC_CONSTRAINED = ("simplex", "ordered", "positive_ordered", "unit_vector")
+_VEC_CONSTRAINED = ("simplex", "ordered", "positive_ordered", "unit_vector",
+                    "cholesky_factor_corr")
 
 
 class _ParamSpec:
@@ -1304,6 +1316,11 @@ class _ParamSpec:
         if self.vtype == "simplex":
             # K constrained coordinates live on a (K-1)-dim manifold.
             self.count = self.sizes[0] - 1
+        elif self.vtype == "cholesky_factor_corr":
+            # K x K factor from the K(K-1)/2 canonical partial correlations.
+            k = self.sizes[0]
+            self.count = k * (k - 1) // 2
+            self.sizes = (k, k)
         self.lower = lower
         self.upper = upper
 
@@ -1334,6 +1351,32 @@ class _ParamSpec:
             norm2 = jnp.sum(u * u)
             c = u / jnp.sqrt(norm2)
             return c, -0.5 * norm2
+        if self.vtype == "cholesky_factor_corr":
+            # Stan ch. 10.12: z_ij = tanh(u_ij) (canonical partial
+            # correlations), rows built left-to-right with unit norm;
+            # logJ = sum_{i>j} [log(1 - z_ij^2) + 0.5 log(1 - sum_{k<j}
+            # L_ik^2)].
+            k = self.sizes[0]
+            z = jnp.tanh(u)
+            zero = jnp.asarray(0.0, u.dtype)
+            jac = zero
+            rows = []
+            idx = 0
+            for i in range(k):
+                row = []
+                ssq = zero
+                for j in range(i):
+                    zij = z[idx]
+                    idx += 1
+                    rem = 1.0 - ssq
+                    jac = jac + jnp.log1p(-zij * zij) + 0.5 * jnp.log(rem)
+                    x = zij * jnp.sqrt(rem)
+                    ssq = ssq + x * x
+                    row.append(x)
+                row.append(jnp.sqrt(1.0 - ssq))
+                row.extend(zero for _ in range(k - i - 1))
+                rows.append(jnp.stack(row))
+            return jnp.stack(rows), jac
         c, jac_e = self._bounded(u)
         jac = (
             jnp.asarray(0.0, dtype=u.dtype)

@@ -224,10 +224,29 @@ def _dirichlet(theta, alpha):
     )
 
 
+def _lkj_corr_cholesky(chol, eta):
+    """LKJ density on a correlation Cholesky factor, UNNORMALIZED (Stan's
+    c_K(eta) constant is omitted; eta is data, so the constant cancels in
+    gradients, acceptance ratios, and the tempering split — it only offsets
+    log-evidence when an LKJ term sits in the phi-scaled likelihood, which
+    no standard model does)."""
+    chol = jnp.asarray(chol, dtype=float)
+    k = chol.shape[-1]
+    diag = jnp.diagonal(chol)[1:]
+    expo = (
+        jnp.asarray(k, dtype=float)
+        - jnp.arange(2, k + 1, dtype=float)
+        + 2.0 * jnp.asarray(eta, dtype=float)
+        - 2.0
+    )
+    return jnp.sum(expo * jnp.log(diag))
+
+
 DISTRIBUTIONS.update(
     multi_normal=_multi_normal,
     multi_normal_cholesky=_multi_normal_cholesky,
     dirichlet=_dirichlet,
+    lkj_corr_cholesky=_lkj_corr_cholesky,
 )
 
 
@@ -253,6 +272,11 @@ FUNCTIONS = {
     "head": lambda v, n: _as_arr(v)[: int(n)],
     "tail": lambda v, n: _as_arr(v)[-int(n):],
     "segment": lambda v, i, n: _as_arr(v)[int(i) - 1 : int(i) - 1 + int(n)],
+    # Matrix helpers for the Cholesky-factor hierarchical idiom.
+    "diag_pre_multiply": lambda d, m: _as_arr(d)[:, None] * _as_arr(m),
+    "diag_post_multiply": lambda m, d: _as_arr(m) * _as_arr(d)[None, :],
+    "multiply_lower_tri_self_transpose": lambda L: _as_arr(L) @ _as_arr(L).T,
+    "cholesky_decompose": lambda m: jnp.linalg.cholesky(_as_arr(m)),
     "sqrt": jnp.sqrt,
     "square": lambda x: _as_arr(x) ** 2,
     "cbrt": jnp.cbrt,

@@ -239,11 +239,12 @@ _BLOCK_NAMES = (
 
 _TYPE_NAMES = ("int", "real", "vector", "row_vector", "matrix")
 
-# Vector types whose constraint is part of the TYPE (Stan reference manual
-# ch. 10): declared like `simplex[K] theta;` — exactly one dimension, the
-# constraining transform supplied by the compiler's _ParamSpec.
+# Types whose constraint is part of the TYPE (Stan reference manual ch. 10):
+# declared like `simplex[K] theta;` — exactly one dimension, the constraining
+# transform supplied by the compiler's _ParamSpec (cholesky_factor_corr[K]
+# produces a K x K lower-triangular factor from K(K-1)/2 coordinates).
 _CONSTRAINED_VEC_TYPES = ("simplex", "ordered", "positive_ordered",
-                          "unit_vector")
+                          "unit_vector", "cholesky_factor_corr")
 
 
 class _Parser:
