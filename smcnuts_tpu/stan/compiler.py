@@ -1299,8 +1299,22 @@ class _ParamSpec:
                         standing in for the Jacobian term.
     """
 
-    def __init__(self, decl: Decl, sizes, lower, upper):
+    def __init__(self, decl: Decl, sizes, lower, upper, offset=None,
+                 multiplier=None):
         self.name = decl.name
+        if (offset is not None or multiplier is not None) and (
+            lower is not None or upper is not None
+        ):
+            raise StanCompileError(
+                f"{decl.name}: offset/multiplier cannot combine with "
+                "lower/upper bounds (as in Stan)"
+            )
+        if multiplier is not None and multiplier <= 0:
+            raise StanCompileError(
+                f"{decl.name}: multiplier must be positive"
+            )
+        self.offset = offset
+        self.multiplier = multiplier
         self.vtype = decl.type if decl.type in _VEC_CONSTRAINED else None
         if self.vtype is not None and len(sizes) != 1:
             raise StanCompileError(
@@ -1392,6 +1406,11 @@ class _ParamSpec:
         slice) and `constrain_seq` (single scalar): (constrained, per-element
         log-Jacobian or None when unbounded). One copy only — the XLA path
         and the forward-mode Pallas tile path must never drift."""
+        if self.offset is not None or self.multiplier is not None:
+            off = 0.0 if self.offset is None else self.offset
+            mult = 1.0 if self.multiplier is None else self.multiplier
+            jac = jnp.full_like(jnp.asarray(u), float(np.log(mult)))
+            return off + mult * u, jac
         if self.lower is not None and self.upper is not None:
             span = self.upper - self.lower
             c = self.lower + span * jax.nn.sigmoid(u)
@@ -1690,13 +1709,20 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             _require_int(spec_interp.ev(d), "parameter dimension")
             for d in decl.dims
         ]
-        lower = upper = None
+        lower = upper = offset = multiplier = None
         if decl.constraint is not None:
             if decl.constraint.lower is not None:
                 lower = float(spec_interp.ev(decl.constraint.lower))
             if decl.constraint.upper is not None:
                 upper = float(spec_interp.ev(decl.constraint.upper))
-        specs.append(_ParamSpec(decl, sizes, lower, upper))
+            if decl.constraint.offset is not None:
+                offset = float(spec_interp.ev(decl.constraint.offset))
+            if decl.constraint.multiplier is not None:
+                multiplier = float(spec_interp.ev(decl.constraint.multiplier))
+        specs.append(
+            _ParamSpec(decl, sizes, lower, upper, offset=offset,
+                       multiplier=multiplier)
+        )
     dim = sum(s.count for s in specs)
 
     tp_block = prog.blocks.get("transformed parameters", [])

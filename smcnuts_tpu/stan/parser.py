@@ -140,6 +140,8 @@ class Index:
 class Constraint:
     lower: Any = None  # expr or None
     upper: Any = None
+    offset: Any = None  # affine non-centering: c = offset + multiplier * u
+    multiplier: Any = None
 
 
 @dataclasses.dataclass
@@ -552,6 +554,10 @@ class _Parser:
                 c.lower = expr
             elif kind == "upper":
                 c.upper = expr
+            elif kind == "offset":
+                c.offset = expr
+            elif kind == "multiplier":
+                c.multiplier = expr
             else:
                 self.fail(f"unsupported constraint {kind!r}")
             if self.accept(","):

@@ -1445,3 +1445,32 @@ def test_hierarchical_correlated_effects_idiom():
         )
     )
     np.testing.assert_allclose(v, want, rtol=2e-4)
+
+
+def test_offset_multiplier_constraint():
+    """<offset=m, multiplier=s> affine non-centering: c = m + s*u with
+    log|s| Jacobian per element — the eight-schools NCP written the modern
+    way must equal the explicit theta_t formulation."""
+    src_om = """
+    data { real mu0; real<lower=0> s0; }
+    parameters { real<offset=mu0, multiplier=s0> x; }
+    model { x ~ normal(mu0, s0); }
+    """
+    m = compile_stan_program(src_om, {"mu0": 3.0, "s0": 2.0}, name="om")
+    from scipy.stats import norm
+
+    for u in (-0.7, 0.4):
+        th = jnp.asarray([u], jnp.float32)
+        c = float(m.constrain(th)[0])
+        np.testing.assert_allclose(c, 3.0 + 2.0 * u, rtol=1e-6)
+        # logp = normal(c | 3, 2) + log(2); with the affine match the
+        # unconstrained density is standard normal + const.
+        np.testing.assert_allclose(
+            float(m.logp(th, 1.0)),
+            norm(3, 2).logpdf(c) + np.log(2.0), rtol=1e-5,
+        )
+    with pytest.raises(StanCompileError, match="offset/multiplier"):
+        compile_stan_program(
+            "parameters { real<lower=0, multiplier=2> x; } "
+            "model { target += x; }", {},
+        )
