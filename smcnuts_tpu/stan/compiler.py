@@ -81,6 +81,7 @@ from .parser import (
     Num,
     Program,
     RangeIdx,
+    Reject,
     Return,
     Sampling,
     StanSyntaxError,
@@ -771,6 +772,12 @@ class _Interp:
             )
         elif isinstance(s, ExprStmt):
             self.ev(s.expr)  # side effect only (user fn `target +=`)
+        elif isinstance(s, Reject):
+            raise StanCompileError(
+                f"line {s.line}: reject() reached during tracing — with "
+                "data-derived control flow only, it would reject EVERY "
+                "draw (guard it with a data-derived `if`, or remove it)"
+            )
         elif isinstance(s, If):
             cond = self.ev(s.cond)
             if isinstance(cond, (bool, int, float, np.bool_, np.integer)):

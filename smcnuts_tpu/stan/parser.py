@@ -48,6 +48,7 @@ class StanSyntaxError(Exception):
 _TOKEN_RE = re.compile(
     r"""
       (?P<skip>\s+|//[^\n]*|\#[^\n]*|/\*.*?\*/)
+    | (?P<str>"[^"\n]*")
     | (?P<real>(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
     | (?P<int>\d+)
     | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
@@ -195,6 +196,17 @@ class While:
 @dataclasses.dataclass
 class Return:
     expr: Any  # None for bare `return;`
+    line: int = 0
+
+
+@dataclasses.dataclass
+class Reject:
+    """`reject(...)`: a reached reject makes the draw's density -inf in
+    Stan. Parameter-dependent `if` is unsupported here, so a reject that
+    executes at trace time would reject EVERY draw — the compiler raises
+    instead of silently ignoring it. Rejects behind false data-derived
+    conditions are simply never reached."""
+
     line: int = 0
 
 
@@ -390,7 +402,8 @@ class _Parser:
             self.expect(";")
             return Return(expr, line=tok.line)
         if tok.text in ("print", "reject"):
-            # Side-effect-only statements: skip through the call and ';'.
+            # Skip through the call and ';' (arguments are display-only).
+            is_reject = tok.text == "reject"
             self.advance()
             depth = 0
             while not (depth == 0 and self.cur.text == ";"):
@@ -400,7 +413,7 @@ class _Parser:
                     depth -= 1
                 self.advance()
             self.expect(";")
-            return []
+            return Reject(line=tok.line) if is_reject else []
         if tok.text == "target":
             self.advance()
             self.expect("+=")

@@ -1474,3 +1474,22 @@ def test_offset_multiplier_constraint():
             "parameters { real<lower=0, multiplier=2> x; } "
             "model { target += x; }", {},
         )
+
+
+def test_reject_statement_semantics():
+    """A reject() that executes during tracing fails compilation loudly
+    (it would reject every draw); one behind a false data-derived condition
+    is unreachable and harmless. print() stays a no-op."""
+    with pytest.raises(StanCompileError, match="reject"):
+        compile_stan_program(
+            "data { int n; } parameters { real x; } "
+            "model { if (n < 0) { target += x; } else { reject(\"bad\"); } }",
+            {"n": 3},
+        )
+    m = compile_stan_program(
+        "data { int n; } parameters { real x; } "
+        "model { if (n < 0) { reject(\"bad\"); } print(\"hi\", n); "
+        "x ~ normal(0, 1); }",
+        {"n": 3},
+    )
+    assert np.isfinite(float(m.logp(jnp.asarray([0.5], jnp.float32), 1.0)))
