@@ -48,6 +48,50 @@ def marginal(model, n, k, backend, step_size, repeats=3):
     }
 
 
+def packing_marginal(n, d, k, repeats=3):
+    """Marginal per-iteration cost of the Pallas call's (N, D) <-> tile
+    layout round trip alone (VERDICT r2 #6 names it the suspected epilogue
+    cost): a K-step scan whose body is to_tiles -> from_tiles plus a
+    nominal add (so XLA cannot elide the reshapes), K-vs-4K differenced."""
+    import jax.numpy as jnp
+
+    from smcnuts_tpu.utils.timing import fresh_key, time_materialized
+
+    _LANES, _SUB = 128, 8
+    block = _LANES * _SUB
+    n_pad = -(-n // block) * block
+    nblk = n_pad // block
+
+    def round_trip(x):
+        ap = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(x)
+        t = ap.T.reshape(d, nblk, _SUB, _LANES).transpose(1, 0, 2, 3)
+        t = t + 1.0  # keep the layout round trip alive
+        back = t.transpose(1, 0, 2, 3).reshape(d, n_pad).T[:n]
+        return back
+
+    def chain(key, k_iters):
+        x0 = jax.random.normal(key, (n, d), jnp.float32)
+
+        def body(x, _):
+            return round_trip(round_trip(x)), None  # x and r equivalents
+
+        x, _ = jax.lax.scan(body, x0, None, length=k_iters)
+        return x
+
+    def timed(k_iters):
+        f = jax.jit(lambda key: chain(key, k_iters))
+        best, _ = time_materialized(
+            f, lambda: (fresh_key(),), repeats=repeats
+        )
+        return best
+
+    t1, t4 = timed(k), timed(4 * k)
+    return {
+        "what": "tile packing round trip x2 (x and r)",
+        "marginal_us_per_iter": round((t4 - t1) / (3 * k) * 1e6, 2),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="arma")
@@ -55,6 +99,8 @@ def main(argv=None):
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--step-size", type=float, default=0.01)
     p.add_argument("--backends", nargs="+", default=["pallas", "xla"])
+    p.add_argument("--packing", action="store_true",
+                   help="also measure the tile-layout round trip alone")
     p.add_argument("--output", default=None,
                    help="also write the decomposition JSON here")
     args = p.parse_args(argv)
@@ -69,6 +115,11 @@ def main(argv=None):
         out["rows"].append(
             marginal(model, args.particles, args.iterations, b,
                      args.step_size)
+        )
+        print(json.dumps(out["rows"][-1]), flush=True)
+    if args.packing:
+        out["rows"].append(
+            packing_marginal(args.particles, model.dim, args.iterations)
         )
         print(json.dumps(out["rows"][-1]), flush=True)
     print(json.dumps(out))

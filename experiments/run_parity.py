@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("-N", "--particles", type=int, default=512)
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--models", nargs="+", default=["arma", "prmwcd"])
+    p.add_argument("--seed0", type=int, default=10,
+                   help="run i uses seed0*(i+1). CAUTION when re-running "
+                   "after a sampler change: the relay transport memoizes "
+                   "previously-seen (program, args) dispatches, so reusing "
+                   "the old seeds can silently return the OLD code's "
+                   "results — pick a fresh seed0 to force real execution")
     args = p.parse_args(argv)
 
     for model in args.models:
@@ -40,7 +46,7 @@ def main(argv=None):
         run_experiments.main([
             "--model", model, "--runs", str(args.runs),
             "-N", str(args.particles), "-K", str(args.iterations),
-            "--vmap-runs", "--output", out,
+            "--vmap-runs", "--output", out, "--seed0", str(args.seed0),
         ])
         plot_experiments.main([
             "--model", model, "--runs", str(args.runs), "--output", out,
