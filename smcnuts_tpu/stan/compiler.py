@@ -1883,9 +1883,16 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             return t + jac
 
         if tile_autodiff == "auto":
+            # Forward = D sequential jvp passes: right for long recurrences
+            # (reverse's reversed chain blows up in Mosaic) but only while D
+            # stays small — a latent state-space model with T latent
+            # parameters would pay T passes. Past the crossover, reverse is
+            # the lesser evil (and such models usually belong on the XLA
+            # backend anyway).
             tile_autodiff = (
                 "forward"
-                if _has_long_recurrence((tp_block, model_block), data_env)
+                if dim <= 24
+                and _has_long_recurrence((tp_block, model_block), data_env)
                 else "reverse"
             )
         if tile_autodiff == "forward":

@@ -1493,3 +1493,31 @@ def test_reject_statement_semantics():
         {"n": 3},
     )
     assert np.isfinite(float(m.logp(jnp.asarray([0.5], jnp.float32), 1.0)))
+
+
+def test_tile_autodiff_wide_d_recurrence_avoids_forward():
+    """Forward mode is D passes: a recurrence model with MANY parameters
+    (latent state-space shape) must not pick it under auto."""
+    T = 60
+    src = f"""
+    data {{ vector[{T}] y; real phi; }}
+    parameters {{ vector[{T}] h_std; real m; }}
+    transformed parameters {{
+      vector[{T}] h;
+      h[1] = m + h_std[1];
+      for (t in 2:{T}) {{ h[t] = m + 0.9 * (h[t-1] - m) + 0.3 * h_std[t]; }}
+    }}
+    model {{
+      h_std ~ std_normal();
+      target += phi * normal_lpdf(y | 0, exp(h / 2));
+    }}
+    """
+    y = np.random.default_rng(0).normal(size=T)
+    m = compile_stan_program(src, {"y": y.tolist()}, name="sv", tile=True)
+    assert m.dim == T + 1
+    assert m.tile_model.autodiff == "reverse"
+    # The XLA path (the right backend for this shape) traces and grads fine.
+    th = jnp.asarray(np.random.default_rng(1).normal(size=m.dim) * 0.2,
+                     jnp.float32)
+    g = jax.grad(lambda t: m.logp(t, 0.6))(th)
+    assert np.all(np.isfinite(np.asarray(g)))
