@@ -33,10 +33,10 @@ from smcnuts_tpu import SMCConfig, run_smc
 from smcnuts_tpu.models import get_model
 from smcnuts_tpu.utils.timing import fresh_keys, materialize, time_materialized
 
-from parity_summary import ground_truth
+from parity_summary import ground_truth, mean_band, var_band
 
 
-def measure(model_name, mode, runs, n, k, step):
+def measure(model_name, mode, runs, n, k, step, seed0=10):
     model = get_model(model_name)
     adapt = mode == "adapt"
     cfg = SMCConfig(
@@ -57,7 +57,7 @@ def measure(model_name, mode, runs, n, k, step):
 
     batched = jax.jit(jax.vmap(one))
     keys = jax.numpy.stack(
-        [jax.random.key(10 * (i + 1)) for i in range(runs)]
+        [jax.random.key(seed0 * (i + 1)) for i in range(runs)]
     )
     out = materialize(batched(keys))
     dt, _ = time_materialized(
@@ -68,8 +68,8 @@ def measure(model_name, mode, runs, n, k, step):
     fm, fv = np.asarray(out["mean"]), np.asarray(out["var"])
     mc_mean, mc_sd = fm.mean(0), fm.std(0, ddof=1)
     mc_vmean, mc_vsd = fv.mean(0), fv.std(0, ddof=1)
-    band = 3 * mc_sd / np.sqrt(runs) + 0.1 * np.sqrt(gt_var)
-    vband = 3 * mc_vsd / np.sqrt(runs) + 0.40 * np.abs(gt_var)
+    band = mean_band(mc_sd, runs, gt_var)
+    vband = var_band(mc_vsd, runs, gt_var)
     # leapfrogs: (R, K+1) per-particle means; index K repeats K-1 (sampler
     # diagnostics quirk), so sum the first K entries only.
     lf = np.asarray(out["leapfrogs"])[:, :-1]
@@ -101,6 +101,10 @@ def main(argv=None):
     p.add_argument("-N", "--particles", type=int, default=512)
     p.add_argument("-K", "--iterations", type=int, default=100)
     p.add_argument("--step-size", type=float, default=0.01)
+    p.add_argument("--seed0", type=int, default=10,
+                   help="run i uses seed0*(i+1); pick a FRESH value when "
+                   "re-validating after a sampler change (the relay "
+                   "memoizes previously-seen (program, args) dispatches)")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -108,7 +112,8 @@ def main(argv=None):
     for model in args.models:
         for mode in ("fixed", "adapt"):
             row = measure(model, mode, args.runs, args.particles,
-                          args.iterations, args.step_size)
+                          args.iterations, args.step_size,
+                          seed0=args.seed0)
             rows.append(row)
             print(json.dumps(row))
     for model in args.models:

@@ -42,6 +42,18 @@ from smcnuts_tpu.utils.io import load_run_csvs
 STRATEGIES = ("forward_lkernel", "gaussian_lkernel", "asymptotic_lkernel")
 
 
+def mean_band(mc_sd, runs, gt_var):
+    """PARITY band for mean estimates: 3 MC-se + 0.1 posterior-sd (module
+    docstring). Shared with bench_adaptation so 'equal estimator quality'
+    always means THIS criterion."""
+    return 3.0 * mc_sd / np.sqrt(runs) + 0.1 * np.sqrt(gt_var)
+
+
+def var_band(mc_vsd, runs, gt_var):
+    """PARITY band for variance estimates: 3 MC-se + 40% relative."""
+    return 3.0 * mc_vsd / np.sqrt(runs) + 0.40 * np.abs(gt_var)
+
+
 def ground_truth(model_name):
     if model_name == "arma":
         from smcnuts_tpu.models.arma import ground_truth as gt
@@ -75,10 +87,8 @@ def summarize(model, output_dir, runs):
         r = final_mean.shape[0]
         # Bands per the module docstring: MC confidence + the algorithm's
         # measured finite-N envelope.
-        band = 3.0 * mc_sd / np.sqrt(r) + 0.1 * np.sqrt(gt_var)
-        ok_mean = np.abs(mc_mean - gt_mean) <= band
-        vband = 3.0 * mc_vsd / np.sqrt(r) + 0.40 * np.abs(gt_var)
-        ok_var = np.abs(mc_vmean - gt_var) <= vband
+        ok_mean = np.abs(mc_mean - gt_mean) <= mean_band(mc_sd, r, gt_var)
+        ok_var = np.abs(mc_vmean - gt_var) <= var_band(mc_vsd, r, gt_var)
         entry = {
             "final_mse_mean": float(((final_mean - gt_mean) ** 2).mean()),
             "final_mse_var": float(((final_var - gt_var) ** 2).mean()),

@@ -434,9 +434,20 @@ class _Interp:
             )
         if any(is_range(i) for i in idxs):
             sel = []
-            for i in idxs:
+            shape = np.shape(base)
+            for axis, i in enumerate(idxs):
+                size = shape[axis] if axis < len(shape) else None
                 if is_range(i):
                     _, lo, hi = i
+                    hi = size if hi is None else hi
+                    # Stan bounds-checks; a silent Python negative-index
+                    # wrap (lo=0 -> slice(-1,..) = empty) or clamp would
+                    # corrupt the density.
+                    if size is not None and not 1 <= lo <= hi <= size:
+                        raise StanCompileError(
+                            f"range [{lo}:{hi}] out of bounds for "
+                            f"dimension of size {size}"
+                        )
                     sel.append(slice(lo - 1, hi))
                 else:
                     sel.append(_require_int(i, "index") - 1)
@@ -462,13 +473,22 @@ class _Interp:
         if op == "*":
             # Stan `*` is LINEAR-ALGEBRA multiplication when a matrix is
             # involved (matrix*matrix, matrix*vector, row_vector*matrix);
-            # `.*` below is the elementwise form. Rank-1 * rank-1 stays
-            # elementwise (Stan rejects it outright; the relaxed behavior
-            # is a deliberate extension and what scalar code paths expect).
+            # `.*` below is the elementwise form. Rank-1 * rank-1 is
+            # REJECTED: without a row/column-vector distinction this
+            # frontend cannot tell Stan's legal row_vector*vector (a dot
+            # product) from the illegal vector*vector — an elementwise
+            # fallback would silently compute the wrong value for the
+            # common X[n] * beta idiom.
             lnd = getattr(l, "ndim", 0)
             rnd = getattr(r, "ndim", 0)
             if lnd >= 1 and rnd >= 1 and (lnd == 2 or rnd == 2):
                 return l @ r
+            if lnd == 1 and rnd == 1:
+                raise StanCompileError(
+                    "vector * vector is ambiguous here (this frontend does "
+                    "not track row/column orientation): use dot_product(a, "
+                    "b) for the inner product or a .* b for elementwise"
+                )
             return l * r
         if op == ".*":
             return l * r
@@ -1640,22 +1660,26 @@ def _has_long_recurrence(blocks, env, threshold=48) -> bool:
         except Exception:
             return 0
 
-    def walk(stmts) -> bool:
+    def walk(stmts, mult=1) -> bool:
+        # `mult` = product of enclosing static trip counts: a recurrence
+        # spelled as nested short loops (10 x 10 carried steps) is still
+        # a 100-step chain for the reverse adapter.
         for st in stmts if isinstance(stmts, (list, tuple)) else [stmts]:
             if isinstance(st, list):
-                if walk(st):
+                if walk(st, mult):
                     return True
             elif isinstance(st, For):
-                if trip(st) > threshold and _body_has_carried_dep(
+                eff = mult * max(1, trip(st))
+                if eff > threshold and _body_has_carried_dep(
                     st.body, st.var
                 ):
                     return True
-                if walk(st.body):
+                if walk(st.body, eff):
                     return True
             elif isinstance(st, While):
                 return True
             elif isinstance(st, If):
-                if walk(st.then) or walk(st.other):
+                if walk(st.then, mult) or walk(st.other, mult):
                     return True
         return False
 

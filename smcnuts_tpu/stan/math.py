@@ -186,32 +186,29 @@ DISTRIBUTIONS = {k: _lp(v) for k, v in ELEMENTWISE_DENSITIES.items()}
 # broadcast-and-sum semantics) and not scalarizable by the tile path (the
 # compiler's _dist_scalarized only consults ELEMENTWISE_DENSITIES).
 
-def _multi_normal(y, mu, sigma):
-    y = jnp.asarray(y, dtype=float)
-    d = y.shape[-1]
-    chol = jnp.linalg.cholesky(jnp.asarray(sigma, dtype=float))
-    z = jax.scipy.linalg.solve_triangular(
-        chol, y - jnp.asarray(mu, dtype=float), lower=True
-    )
+def _mvn_chol_core(y, mu, chol):
+    """Shared MVN log-density given the lower Cholesky factor. `y` may be a
+    single (D,) vector or Stan's vectorized (N, D) array-of-vectors (mu
+    broadcasting across rows); the per-observation normalizer is counted
+    once per ROW."""
+    y2 = jnp.atleast_2d(jnp.asarray(y, dtype=float))  # (N, D)
+    n, d = y2.shape
+    diff = y2 - jnp.asarray(mu, dtype=float)
+    z = jax.scipy.linalg.solve_triangular(chol, diff.T, lower=True)
     return (
         -0.5 * jnp.sum(z * z)
-        - jnp.sum(jnp.log(jnp.diagonal(chol)))
-        - d * LOG_SQRT_2PI
+        - n * (jnp.sum(jnp.log(jnp.diagonal(chol))) + d * LOG_SQRT_2PI)
+    )
+
+
+def _multi_normal(y, mu, sigma):
+    return _mvn_chol_core(
+        y, mu, jnp.linalg.cholesky(jnp.asarray(sigma, dtype=float))
     )
 
 
 def _multi_normal_cholesky(y, mu, chol):
-    y = jnp.asarray(y, dtype=float)
-    d = y.shape[-1]
-    chol = jnp.asarray(chol, dtype=float)
-    z = jax.scipy.linalg.solve_triangular(
-        chol, y - jnp.asarray(mu, dtype=float), lower=True
-    )
-    return (
-        -0.5 * jnp.sum(z * z)
-        - jnp.sum(jnp.log(jnp.diagonal(chol)))
-        - d * LOG_SQRT_2PI
-    )
+    return _mvn_chol_core(y, mu, jnp.asarray(chol, dtype=float))
 
 
 def _dirichlet(theta, alpha):
@@ -226,10 +223,18 @@ def _dirichlet(theta, alpha):
 
 def _lkj_corr_cholesky(chol, eta):
     """LKJ density on a correlation Cholesky factor, UNNORMALIZED (Stan's
-    c_K(eta) constant is omitted; eta is data, so the constant cancels in
-    gradients, acceptance ratios, and the tempering split — it only offsets
-    log-evidence when an LKJ term sits in the phi-scaled likelihood, which
-    no standard model does)."""
+    c_K(eta) constant is omitted; eta must be DATA, so the constant cancels
+    in gradients, acceptance ratios, and the tempering split — it only
+    offsets log-evidence when an LKJ term sits in the phi-scaled
+    likelihood, which no standard model does). A traced (parameter) eta is
+    rejected: the omitted constant depends on eta, so its gradient would be
+    silently wrong."""
+    if isinstance(eta, jax.core.Tracer):
+        raise ValueError(
+            "lkj_corr_cholesky requires a data-derived eta (its "
+            "normalizing constant, omitted here, depends on eta — a "
+            "parameter eta would get a wrong gradient)"
+        )
     chol = jnp.asarray(chol, dtype=float)
     k = chol.shape[-1]
     diag = jnp.diagonal(chol)[1:]
@@ -270,7 +275,8 @@ FUNCTIONS = {
     "log10": jnp.log10,
     # Container slicing (static sizes, as everywhere in this frontend).
     "head": lambda v, n: _as_arr(v)[: int(n)],
-    "tail": lambda v, n: _as_arr(v)[-int(n):],
+    # explicit start index: [-0:] would be the WHOLE vector for n=0
+    "tail": lambda v, n: _as_arr(v)[_as_arr(v).shape[0] - int(n):],
     "segment": lambda v, i, n: _as_arr(v)[int(i) - 1 : int(i) - 1 + int(n)],
     # Matrix helpers for the Cholesky-factor hierarchical idiom.
     "diag_pre_multiply": lambda d, m: _as_arr(d)[:, None] * _as_arr(m),
