@@ -65,8 +65,10 @@ def map_runs_2d(fn_one, keys, mesh: Mesh):
     ('runs', 'particles') mesh: the R-run batch is sharded over mesh rows and
     each run's particle axis over the columns. `fn_one` must constrain its
     particle-major arrays against THIS mesh (pass mesh= to run_smc); the run
-    axis needs no annotation — it propagates from the key placement. R must
-    be a multiple of the run-axis size."""
+    axis needs no annotation — it propagates from the key placement, and the
+    vmap carries spmd_axis_name='runs' so even manual-collective regions
+    (the Pallas NUTS kernel's shard_map) shard the run batch over mesh rows.
+    R must be a multiple of the run-axis size."""
     r = keys.shape[0]
     n_rows = mesh.shape[RUN_AXIS]
     if r % n_rows != 0:
@@ -81,7 +83,12 @@ def map_runs_2d(fn_one, keys, mesh: Mesh):
     cache_key = ("2d", tuple(mesh.devices.flat), mesh.axis_names)
     f = per_fn.get(cache_key)
     if f is None:
-        f = jax.jit(jax.vmap(fn_one))
+        # spmd_axis_name binds the vmapped run axis to the mesh's 'runs'
+        # axis, so manual-collective regions inside fn_one (the sampler's
+        # shard_map'd Pallas kernel call) see the run batch as SHARDED over
+        # mesh rows rather than replicated — without it each row would
+        # redundantly compute every run's kernel work.
+        f = jax.jit(jax.vmap(fn_one, spmd_axis_name=RUN_AXIS))
         per_fn[cache_key] = f
     keys = jax.device_put(keys, NamedSharding(mesh, P(RUN_AXIS)))
     return f(keys)

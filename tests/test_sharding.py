@@ -217,3 +217,27 @@ def test_runs_particles_2d_mesh_matches_unsharded():
 
     with pytest.raises(ValueError):
         map_runs_2d(one_sharded, keys[:3], mesh2d)
+
+
+def test_runs_particles_2d_mesh_pallas_backend():
+    """The 2-D mesh also carries the Pallas whole-tree backend: the vmap's
+    spmd_axis_name binds the run batch to the 'runs' mesh axis, so the
+    kernel's shard_map shards runs over mesh rows (no replicated compute).
+    Interpret-mode kernel off-TPU; values finite and run-sharded."""
+    from smcnuts_tpu.models import get_model
+    from smcnuts_tpu.parallel import map_runs_2d, runs_particles_mesh
+
+    mesh2d = runs_particles_mesh(2)
+    model = get_model("arma")
+    cfg = SMCConfig(
+        n_particles=64, n_iterations=2, step_size=0.01,
+        nuts_backend="pallas", max_tree_depth=3, save_history=False,
+    )
+    keys = jnp.stack([jax.random.key(3 * (i + 1)) for i in range(4)])
+    out = map_runs_2d(
+        lambda k: run_smc(model, cfg, k, mesh=mesh2d).mean_estimate,
+        keys, mesh2d,
+    )
+    assert out.shape == (4, 3, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert len(out.addressable_shards) == jax.device_count()
