@@ -1305,7 +1305,36 @@ class _ScanInterp(_Interp):
 
 
 _VEC_CONSTRAINED = ("simplex", "ordered", "positive_ordered", "unit_vector",
-                    "cholesky_factor_corr")
+                    "cholesky_factor_corr", "corr_matrix", "cov_matrix",
+                    "cholesky_factor_cov")
+
+
+def _cpc_cholesky(u, k):
+    """Canonical-partial-correlation Cholesky factor (Stan ch. 10.12):
+    z_ij = tanh(u_ij), rows built left-to-right with unit norm. Returns
+    (L, logJ) with logJ = sum_{i>j} [log(1 - z_ij^2) + 0.5 log(1 -
+    sum_{k<j} L_ik^2)] — the Jacobian onto L's strictly-lower entries.
+    Shared by the cholesky_factor_corr and corr_matrix transforms."""
+    z = jnp.tanh(u)
+    zero = jnp.asarray(0.0, u.dtype)
+    jac = zero
+    rows = []
+    idx = 0
+    for i in range(k):
+        row = []
+        ssq = zero
+        for j in range(i):
+            zij = z[idx]
+            idx += 1
+            rem = 1.0 - ssq
+            jac = jac + jnp.log1p(-zij * zij) + 0.5 * jnp.log(rem)
+            x = zij * jnp.sqrt(rem)
+            ssq = ssq + x * x
+            row.append(x)
+        row.append(jnp.sqrt(1.0 - ssq))
+        row.extend(zero for _ in range(k - i - 1))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows), jac
 
 
 class _ParamSpec:
@@ -1324,6 +1353,22 @@ class _ParamSpec:
                         logJ = Σ [log z_k + log(1−z_k) + log stick_k]
     - unit_vector (K):  c = u/‖u‖ with Stan's −½‖u‖² density adjustment
                         standing in for the Jacobian term.
+
+    Matrix-constrained types (Stan manual ch. 10.9-10.12; completes the
+    BridgeStan transform set):
+
+    - cholesky_factor_corr (K): K(K-1)/2 canonical partial correlations
+      z = tanh(u), rows built left-to-right with unit norm;
+      logJ = Σ_{i>j} [log(1−z_ij²) + ½ log(1−Σ_{k<j} L_ik²)]
+    - corr_matrix (K): the cholesky_factor_corr map composed with
+      Σ = L Lᵀ. The L→Σ stage (strictly-lower entries, row-major) is
+      triangular with diagonal ∂Σ_ij/∂L_ij = L_jj, adding
+      logJ += Σ_{j<K} (K−j)·log L_jj (validated numerically in tests).
+    - cov_matrix (K): K(K+1)/2 coordinates, row-major lower triangle with
+      the diagonal exp-transformed, Σ = L Lᵀ;
+      logJ = K·log 2 + Σ_k (K−k+2)·u_kk  (Stan manual 10.10)
+    - cholesky_factor_cov (K): row-major lower triangle, diagonal
+      exp-transformed, no product; logJ = Σ_k u_kk.
     """
 
     def __init__(self, decl: Decl, sizes, lower, upper, offset=None,
@@ -1357,10 +1402,15 @@ class _ParamSpec:
         if self.vtype == "simplex":
             # K constrained coordinates live on a (K-1)-dim manifold.
             self.count = self.sizes[0] - 1
-        elif self.vtype == "cholesky_factor_corr":
-            # K x K factor from the K(K-1)/2 canonical partial correlations.
+        elif self.vtype in ("cholesky_factor_corr", "corr_matrix"):
+            # K x K output from the K(K-1)/2 canonical partial correlations.
             k = self.sizes[0]
             self.count = k * (k - 1) // 2
+            self.sizes = (k, k)
+        elif self.vtype in ("cov_matrix", "cholesky_factor_cov"):
+            # K x K output from the K(K+1)/2 lower-triangle coordinates.
+            k = self.sizes[0]
+            self.count = k * (k + 1) // 2
             self.sizes = (k, k)
         self.lower = lower
         self.upper = upper
@@ -1392,32 +1442,45 @@ class _ParamSpec:
             norm2 = jnp.sum(u * u)
             c = u / jnp.sqrt(norm2)
             return c, -0.5 * norm2
-        if self.vtype == "cholesky_factor_corr":
-            # Stan ch. 10.12: z_ij = tanh(u_ij) (canonical partial
-            # correlations), rows built left-to-right with unit norm;
-            # logJ = sum_{i>j} [log(1 - z_ij^2) + 0.5 log(1 - sum_{k<j}
-            # L_ik^2)].
+        if self.vtype in ("cholesky_factor_corr", "corr_matrix"):
+            ell, jac = _cpc_cholesky(u, self.sizes[0])
+            if self.vtype == "cholesky_factor_corr":
+                return ell, jac
+            # corr_matrix: Sigma = L L^T. The L -> Sigma stage over the
+            # strictly-lower entries (row-major) is triangular with diagonal
+            # dSigma_ij/dL_ij = L_jj, so each column j's diagonal enters
+            # K-1-j times (0-based). L_00 = 1 contributes nothing.
             k = self.sizes[0]
-            z = jnp.tanh(u)
+            diag = jnp.diagonal(ell)
+            mult = jnp.arange(k - 1, -1, -1, dtype=u.dtype)
+            jac = jac + jnp.sum(mult * jnp.log(diag))
+            return ell @ ell.T, jac
+        if self.vtype in ("cov_matrix", "cholesky_factor_cov"):
+            # Row-major lower triangle; diagonal coordinates exp-transformed
+            # so the factor has a positive diagonal.
+            k = self.sizes[0]
             zero = jnp.asarray(0.0, u.dtype)
-            jac = zero
             rows = []
+            log_diag = []
             idx = 0
             for i in range(k):
-                row = []
-                ssq = zero
-                for j in range(i):
-                    zij = z[idx]
-                    idx += 1
-                    rem = 1.0 - ssq
-                    jac = jac + jnp.log1p(-zij * zij) + 0.5 * jnp.log(rem)
-                    x = zij * jnp.sqrt(rem)
-                    ssq = ssq + x * x
-                    row.append(x)
-                row.append(jnp.sqrt(1.0 - ssq))
+                off = [u[idx + j] for j in range(i)]
+                log_diag.append(u[idx + i])
+                idx += i + 1
+                row = off + [jnp.exp(u[idx - 1])]
                 row.extend(zero for _ in range(k - i - 1))
                 rows.append(jnp.stack(row))
-            return jnp.stack(rows), jac
+            ell = jnp.stack(rows)
+            log_diag = jnp.stack(log_diag)
+            if self.vtype == "cholesky_factor_cov":
+                return ell, jnp.sum(log_diag)
+            # cov_matrix (Stan manual 10.10): Sigma = L L^T;
+            # logJ = K log 2 + sum_k (K - k + 2) u_kk   (1-based k).
+            mult = jnp.arange(k + 1, 1, -1, dtype=u.dtype)
+            jac = k * jnp.log(jnp.asarray(2.0, u.dtype)) + jnp.sum(
+                mult * log_diag
+            )
+            return ell @ ell.T, jac
         c, jac_e = self._bounded(u)
         jac = (
             jnp.asarray(0.0, dtype=u.dtype)

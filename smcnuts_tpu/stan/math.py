@@ -107,7 +107,7 @@ def _double_exponential(y, mu, sigma):
 
 def _chi_square(y, nu):
     return (
-        -nu / 2.0 * jnp.log(2.0)
+        -nu / 2.0 * math.log(2.0)
         - jax.lax.lgamma(nu / 2.0)
         + (nu / 2.0 - 1.0) * jnp.log(y)
         - y / 2.0
@@ -247,11 +247,83 @@ def _lkj_corr_cholesky(chol, eta):
     return jnp.sum(expo * jnp.log(diag))
 
 
+def _logdet_spd(m):
+    """(log det, lower Cholesky factor) of a symmetric positive-definite
+    matrix."""
+    chol = jnp.linalg.cholesky(jnp.asarray(m, dtype=float))
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol))), chol
+
+
+def _lmultigamma(k, a):
+    """Log multivariate gamma log Γ_K(a) (Wishart normalizers); `k` is a
+    static Python int, `a` may be traced."""
+    j = jnp.arange(1, k + 1, dtype=float)
+    return (k * (k - 1) / 4.0) * math.log(math.pi) + jnp.sum(
+        jax.lax.lgamma(jnp.asarray(a, dtype=float) + (1.0 - j) / 2.0)
+    )
+
+
+def _lkj_corr(sigma, eta):
+    """LKJ density on a full correlation matrix, UNNORMALIZED like
+    _lkj_corr_cholesky (same data-eta requirement, same rationale):
+    log p = (eta - 1) log det Sigma."""
+    if isinstance(eta, jax.core.Tracer):
+        raise ValueError(
+            "lkj_corr requires a data-derived eta (its normalizing "
+            "constant, omitted here, depends on eta — a parameter eta "
+            "would get a wrong gradient)"
+        )
+    ld, _ = _logdet_spd(sigma)
+    return (jnp.asarray(eta, dtype=float) - 1.0) * ld
+
+
+def _wishart(w, nu, s):
+    """Fully-normalized Wishart log-density W ~ Wishart(nu, S) — the
+    constants stay because nu/S may be parameters (unlike the LKJ eta)."""
+    w = jnp.asarray(w, dtype=float)
+    k = w.shape[-1]
+    kf = float(k)
+    nu = jnp.asarray(nu, dtype=float)
+    ldw, _ = _logdet_spd(w)
+    lds, chol_s = _logdet_spd(s)
+    tr = jnp.trace(jax.scipy.linalg.cho_solve((chol_s, True), w))
+    return (
+        0.5 * (nu - kf - 1.0) * ldw
+        - 0.5 * tr
+        - 0.5 * nu * kf * math.log(2.0)
+        - 0.5 * nu * lds
+        - _lmultigamma(k, 0.5 * nu)
+    )
+
+
+def _inv_wishart(w, nu, s):
+    """Fully-normalized inverse-Wishart log-density W ~ InvWishart(nu, S)."""
+    w = jnp.asarray(w, dtype=float)
+    k = w.shape[-1]
+    kf = float(k)
+    nu = jnp.asarray(nu, dtype=float)
+    ldw, chol_w = _logdet_spd(w)
+    lds, _ = _logdet_spd(s)
+    tr = jnp.trace(
+        jax.scipy.linalg.cho_solve((chol_w, True), jnp.asarray(s, float))
+    )
+    return (
+        0.5 * nu * lds
+        - 0.5 * (nu + kf + 1.0) * ldw
+        - 0.5 * tr
+        - 0.5 * nu * kf * math.log(2.0)
+        - _lmultigamma(k, 0.5 * nu)
+    )
+
+
 DISTRIBUTIONS.update(
     multi_normal=_multi_normal,
     multi_normal_cholesky=_multi_normal_cholesky,
     dirichlet=_dirichlet,
     lkj_corr_cholesky=_lkj_corr_cholesky,
+    lkj_corr=_lkj_corr,
+    wishart=_wishart,
+    inv_wishart=_inv_wishart,
 )
 
 

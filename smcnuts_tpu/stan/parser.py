@@ -258,7 +258,9 @@ _TYPE_NAMES = ("int", "real", "vector", "row_vector", "matrix")
 # transform supplied by the compiler's _ParamSpec (cholesky_factor_corr[K]
 # produces a K x K lower-triangular factor from K(K-1)/2 coordinates).
 _CONSTRAINED_VEC_TYPES = ("simplex", "ordered", "positive_ordered",
-                          "unit_vector", "cholesky_factor_corr")
+                          "unit_vector", "cholesky_factor_corr",
+                          "corr_matrix", "cov_matrix",
+                          "cholesky_factor_cov")
 
 
 class _Parser:

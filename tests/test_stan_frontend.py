@@ -1392,6 +1392,149 @@ def test_cholesky_factor_corr_transform_and_lkj():
     np.testing.assert_allclose(rho_var, 0.2, atol=0.05)
 
 
+def test_corr_matrix_transform_and_uniform_rho():
+    """corr_matrix[K]: symmetric, unit diagonal, positive definite; the
+    declared log-Jacobian equals the numeric chart determinant over the
+    strictly-lower entries of Sigma; and a flat target on corr_matrix[2]
+    (LKJ eta=1) gives rho ~ Uniform(-1,1): mean 0, var 1/3."""
+    K = 4
+    src = f"parameters {{ corr_matrix[{K}] S; }} model {{ target += 0; }}"
+    m = compile_stan_program(src, {}, name="cm")
+    assert m.dim == K * (K - 1) // 2
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        u = rng.normal(0, 0.7, m.dim)
+        S = np.asarray(
+            m.constrain(jnp.asarray(u, jnp.float32))
+        )[: K * K].reshape(K, K)
+        np.testing.assert_allclose(S, S.T, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.diag(S), np.ones(K), rtol=1e-5)
+        assert np.all(np.linalg.eigvalsh(S.astype(np.float64)) > 0)
+        lj = float(m.logprior(jnp.asarray(u, jnp.float32)))
+
+        def chart(uu):
+            Sm = m.constrain(uu)[: K * K].reshape(K, K)
+            return jnp.concatenate([Sm[i, :i] for i in range(1, K)])
+
+        J = jax.jacobian(chart)(jnp.asarray(u, jnp.float32))
+        _, ld = np.linalg.slogdet(np.asarray(J, np.float64))
+        np.testing.assert_allclose(lj, ld, rtol=1e-4, atol=1e-3)
+
+    from smcnuts_tpu import SMCConfig, run_smc
+
+    src2 = "parameters { corr_matrix[2] S; } model { target += 0; }"
+    m2 = compile_stan_program(src2, {}, name="cm2")
+    cfg = SMCConfig(n_particles=1024, n_iterations=10, step_size=0.5,
+                    save_history=False, max_tree_depth=6)
+    res = run_smc(m2, cfg, jax.random.key(11))
+    # constrained layout row-major: S.1.1, S.1.2, S.2.1, S.2.2.
+    rho_mean = float(res.mean_estimate[-1][1])
+    rho_var = float(res.variance_estimate[-1][1])
+    assert abs(rho_mean) < 0.1, rho_mean
+    np.testing.assert_allclose(rho_var, 1 / 3, atol=0.06)
+
+
+def test_cov_matrix_transform():
+    """cov_matrix[K]: symmetric positive definite; the declared
+    log-Jacobian (K log 2 + sum (K-k+2) u_kk + ...) equals the numeric
+    chart determinant over the lower triangle of Sigma incl. diagonal."""
+    K = 3
+    src = f"parameters {{ cov_matrix[{K}] S; }} model {{ target += 0; }}"
+    m = compile_stan_program(src, {}, name="covm")
+    assert m.dim == K * (K + 1) // 2
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        u = rng.normal(0, 0.6, m.dim)
+        S = np.asarray(
+            m.constrain(jnp.asarray(u, jnp.float32))
+        )[: K * K].reshape(K, K)
+        np.testing.assert_allclose(S, S.T, rtol=1e-5, atol=1e-6)
+        assert np.all(np.linalg.eigvalsh(S.astype(np.float64)) > 0)
+        lj = float(m.logprior(jnp.asarray(u, jnp.float32)))
+
+        def chart(uu):
+            Sm = m.constrain(uu)[: K * K].reshape(K, K)
+            return jnp.concatenate([Sm[i, : i + 1] for i in range(K)])
+
+        J = jax.jacobian(chart)(jnp.asarray(u, jnp.float32))
+        _, ld = np.linalg.slogdet(np.asarray(J, np.float64))
+        np.testing.assert_allclose(lj, ld, rtol=1e-4, atol=1e-3)
+
+
+def test_cholesky_factor_cov_transform():
+    """cholesky_factor_cov[K]: lower triangular with positive diagonal;
+    logJ = sum of the diagonal's unconstrained coordinates."""
+    K = 3
+    src = (
+        f"parameters {{ cholesky_factor_cov[{K}] L; }} "
+        "model { target += 0; }"
+    )
+    m = compile_stan_program(src, {}, name="cfcov")
+    assert m.dim == K * (K + 1) // 2
+    u = np.random.default_rng(3).normal(0, 0.8, m.dim)
+    L = np.asarray(
+        m.constrain(jnp.asarray(u, jnp.float32))
+    )[: K * K].reshape(K, K)
+    assert np.allclose(np.triu(L, 1), 0.0)
+    assert np.all(np.diag(L) > 0)
+    diag_idx = [i * (i + 1) // 2 + i for i in range(K)]
+    np.testing.assert_allclose(
+        float(m.logprior(jnp.asarray(u, jnp.float32))),
+        float(u[diag_idx].sum()), rtol=1e-5,
+    )
+
+
+def test_matrix_densities_match_scipy():
+    """wishart / inv_wishart (fully normalized) against scipy; lkj_corr's
+    unnormalized form against (eta-1) logdet."""
+    from scipy import stats
+
+    from smcnuts_tpu.stan.math import DISTRIBUTIONS
+
+    rng = np.random.default_rng(0)
+    K = 3
+    A = rng.normal(size=(K, K))
+    S = A @ A.T + K * np.eye(K)
+    B = rng.normal(size=(K, K))
+    W = B @ B.T + K * np.eye(K)
+    nu = 7.5
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["wishart"](W, nu, S)),
+        stats.wishart.logpdf(W, df=nu, scale=S), rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["inv_wishart"](W, nu, S)),
+        stats.invwishart.logpdf(W, df=nu, scale=S), rtol=1e-4,
+    )
+    C = np.corrcoef(rng.normal(size=(K, 50)))
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["lkj_corr"](C, 2.5)),
+        1.5 * np.linalg.slogdet(C)[1], rtol=1e-4,
+    )
+
+
+def test_cov_matrix_inv_wishart_posterior_mean():
+    """e2e: cov_matrix[2] S ~ inv_wishart(8, I) has mean I/(nu-K-1) = I/5 —
+    exercises the cov_matrix transform (incl. its Jacobian) through the full
+    sampler."""
+    from smcnuts_tpu import SMCConfig, run_smc
+
+    src = """
+    data { matrix[2,2] S0; real phi; }
+    parameters { cov_matrix[2] S; }
+    model { S ~ inv_wishart(8, S0); }
+    """
+    m = compile_stan_program(
+        src, {"S0": np.eye(2).tolist()}, name="iwish"
+    )
+    assert m.dim == 3
+    cfg = SMCConfig(n_particles=1024, n_iterations=12, step_size=0.3,
+                    save_history=False, max_tree_depth=6)
+    res = run_smc(m, cfg, jax.random.key(5))
+    mean = np.asarray(res.mean_estimate[-1])[:4].reshape(2, 2)
+    np.testing.assert_allclose(mean, np.eye(2) / 5.0, atol=0.05)
+
+
 def test_hierarchical_correlated_effects_idiom():
     """The modern Stan hierarchical idiom compiles and traces end-to-end:
     z ~ std_normal, effects = diag_pre_multiply(tau, L) * z."""
