@@ -415,6 +415,37 @@ FUNCTIONS = {
     "rep_array": lambda v, n: jnp.full((n,), v),
     "to_vector": lambda x: jnp.ravel(_as_arr(x)),
     "to_array_1d": lambda x: jnp.ravel(_as_arr(x)),
+    # matrix algebra (pairs with the corr_matrix/cov_matrix parameter types)
+    "trace": lambda m: jnp.trace(_as_arr(m)),
+    "inverse": lambda m: jnp.linalg.inv(_as_arr(m)),
+    "inverse_spd": lambda m: jnp.linalg.inv(_as_arr(m)),
+    "determinant": lambda m: jnp.linalg.det(_as_arr(m)),
+    "log_determinant": lambda m: jnp.linalg.slogdet(_as_arr(m))[1],
+    # quad_form(A, B) = B' A B; a vector B gives a scalar, a matrix B a
+    # matrix — one expression covers both.
+    "quad_form": lambda a, b: _as_arr(b).T @ _as_arr(a) @ _as_arr(b),
+    "quad_form_sym": lambda a, b: _as_arr(b).T @ _as_arr(a) @ _as_arr(b),
+    "quad_form_diag": lambda m, v: _as_arr(m)
+    * jnp.outer(_as_arr(v), _as_arr(v)),
+    "crossprod": lambda m: _as_arr(m).T @ _as_arr(m),
+    "tcrossprod": lambda m: _as_arr(m) @ _as_arr(m).T,
+    "mdivide_left_tri_low": lambda a, b: jax.scipy.linalg.solve_triangular(
+        _as_arr(a), _as_arr(b), lower=True
+    ),
+    "mdivide_left_spd": lambda a, b: jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(_as_arr(a)), True), _as_arr(b)
+    ),
+    "squared_distance": lambda a, b: jnp.sum(
+        (_as_arr(a) - _as_arr(b)) ** 2
+    ),
+    "distance": lambda a, b: jnp.sqrt(
+        jnp.sum((_as_arr(a) - _as_arr(b)) ** 2)
+    ),
+    # Shape queries return static Python ints (usable as loop bounds).
+    "rows": lambda m: int(jnp.shape(m)[0]),
+    "cols": lambda m: int(jnp.shape(m)[1]),
+    "num_elements": lambda m: int(_as_arr(m).size),
+    "size": lambda m: int(jnp.shape(m)[0]) if jnp.shape(m) else 1,
 }
 
 

@@ -1535,6 +1535,44 @@ def test_cov_matrix_inv_wishart_posterior_mean():
     np.testing.assert_allclose(mean, np.eye(2) / 5.0, atol=0.05)
 
 
+def test_matrix_algebra_builtins():
+    """trace/inverse/determinant/log_determinant/quad_form/crossprod/
+    tcrossprod/mdivide_left_tri_low/rows/cols/distance evaluate to the
+    numpy ground truth (data-only expressions, flat parameter)."""
+    A = np.array([[2.0, 0.3], [0.3, 1.5]])
+    b = np.array([0.4, -0.7])
+    L = np.linalg.cholesky(A)
+    src = """
+    data { matrix[2,2] A; vector[2] b; real phi; }
+    parameters { real z; }
+    model {
+      target += trace(A) + determinant(A) + log_determinant(A);
+      target += quad_form(A, b) + quad_form(inverse(A), b);
+      target += trace(crossprod(A)) + trace(tcrossprod(A));
+      target += sum(mdivide_left_tri_low(cholesky_decompose(A), b));
+      target += rows(A) + cols(A) + num_elements(b);
+      target += distance(col(A, 1), b) + squared_distance(row(A, 2), b);
+      target += trace(quad_form_diag(A, b)) + sum(mdivide_left_spd(A, b));
+    }
+    """
+    m = compile_stan_program(
+        src, {"A": A.tolist(), "b": b.tolist()}, name="matalg"
+    )
+    expect = (
+        A.trace() + np.linalg.det(A) + np.linalg.slogdet(A)[1]
+        + b @ A @ b + b @ np.linalg.inv(A) @ b
+        + (A.T @ A).trace() + (A @ A.T).trace()
+        + np.linalg.solve(L, b).sum()
+        + 2 + 2 + 2
+        + np.linalg.norm(A[:, 0] - b) + ((A[1, :] - b) ** 2).sum()
+        + (A * np.outer(b, b)).trace() + np.linalg.solve(A, b).sum()
+    )
+    got = float(m.logp(jnp.zeros((1,), jnp.float32), 1.0))
+    # subtract the flat z's standard-normal-free prior: model has no prior
+    # term for z, so logp is exactly the data expression total.
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
 def test_hierarchical_correlated_effects_idiom():
     """The modern Stan hierarchical idiom compiles and traces end-to-end:
     z ~ std_normal, effects = diag_pre_multiply(tau, L) * z."""
