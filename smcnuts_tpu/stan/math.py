@@ -316,7 +316,49 @@ def _inv_wishart(w, nu, s):
     )
 
 
+def _categorical(y, theta):
+    """categorical_lpmf: y is 1-based data int(s), theta a simplex."""
+    theta = jnp.asarray(theta, dtype=float)
+    return jnp.sum(jnp.log(theta[jnp.asarray(y) - 1]))
+
+
+def _categorical_logit(y, beta):
+    ls = jax.nn.log_softmax(jnp.asarray(beta, dtype=float))
+    return jnp.sum(ls[jnp.asarray(y) - 1])
+
+
+def _multinomial(y, theta):
+    y = jnp.asarray(y, dtype=float)
+    theta = jnp.asarray(theta, dtype=float)
+    return (
+        jax.lax.lgamma(jnp.sum(y) + 1.0)
+        - jnp.sum(jax.lax.lgamma(y + 1.0))
+        + jnp.sum(y * jnp.log(theta))
+    )
+
+
+def _ordered_logistic(y, eta, c):
+    """ordered_logistic_lpmf: P(y=k) = logit^-1(eta - c_{k-1}) -
+    logit^-1(eta - c_k) with c_0 = -inf, c_K = +inf (pairs with the
+    `ordered` cutpoint type). Stable via log_sigmoid + log1m_exp; y may be
+    a data int array with eta broadcasting elementwise."""
+    y = jnp.asarray(y)
+    eta = jnp.asarray(eta, dtype=float)
+    c = jnp.asarray(c, dtype=float)
+    inf = jnp.asarray([jnp.inf], dtype=float)
+    cpad = jnp.concatenate([-inf, c, inf])
+    a = eta - cpad[y - 1]  # >= b elementwise
+    b = eta - cpad[y]
+    la = jax.nn.log_sigmoid(a)
+    lb = jax.nn.log_sigmoid(b)
+    return jnp.sum(la + jnp.log(-jnp.expm1(lb - la)))
+
+
 DISTRIBUTIONS.update(
+    categorical=_categorical,
+    categorical_logit=_categorical_logit,
+    multinomial=_multinomial,
+    ordered_logistic=_ordered_logistic,
     multi_normal=_multi_normal,
     multi_normal_cholesky=_multi_normal_cholesky,
     dirichlet=_dirichlet,

@@ -1573,6 +1573,69 @@ def test_matrix_algebra_builtins():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
+def test_discrete_densities_categorical_multinomial_ordered_logistic():
+    """categorical(+_logit) / multinomial vs scipy; ordered_logistic vs the
+    direct difference-of-sigmoids probabilities incl. the edge categories
+    1 and K."""
+    from scipy import stats
+    from scipy.special import expit, log_softmax
+
+    from smcnuts_tpu.stan.math import DISTRIBUTIONS
+
+    theta = np.array([0.2, 0.5, 0.3])
+    y = np.array([1, 3, 2, 2])
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["categorical"](y, theta)),
+        np.log(theta[y - 1]).sum(), rtol=1e-5,
+    )
+    beta = np.array([0.4, -1.1, 0.7])
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["categorical_logit"](y, beta)),
+        log_softmax(beta)[y - 1].sum(), rtol=1e-5,
+    )
+    counts = np.array([3, 1, 4])
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["multinomial"](counts, theta)),
+        stats.multinomial.logpmf(counts, n=counts.sum(), p=theta),
+        rtol=1e-5,
+    )
+    c = np.array([-0.8, 0.3, 1.5])  # K = 4 categories
+    eta = np.array([0.2, -1.0, 2.0, 0.5])
+    yy = np.array([1, 2, 4, 3])
+    cpad = np.concatenate([[-np.inf], c, [np.inf]])
+    probs = expit(eta - cpad[yy - 1]) - expit(eta - cpad[yy])
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["ordered_logistic"](yy, eta, c)),
+        np.log(probs).sum(), rtol=1e-5,
+    )
+
+
+def test_ordered_logistic_model_gradients():
+    """An ordered-logistic regression with `ordered` cutpoints compiles and
+    has finite gradients — the canonical pairing of the cutpoint type with
+    its likelihood."""
+    src = """
+    data { int N; int y[N]; vector[N] x; real phi; }
+    parameters { real beta; ordered[3] c; }
+    model {
+      beta ~ normal(0, 2);
+      c ~ normal(0, 5);
+      for (n in 1:N) { y[n] ~ ordered_logistic(beta * x[n], c); }
+    }
+    """
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=8)
+    y = rng.integers(1, 5, size=8)
+    m = compile_stan_program(
+        src, {"N": 8, "y": y.tolist(), "x": x.tolist()}, name="ologit"
+    )
+    u = jnp.asarray(rng.normal(0, 0.5, m.dim), jnp.float32)
+    v = float(m.logp(u, 1.0))
+    g = np.asarray(jax.grad(lambda t: m.logp(t, 1.0))(u))
+    assert np.isfinite(v)
+    assert np.all(np.isfinite(g))
+
+
 def test_hierarchical_correlated_effects_idiom():
     """The modern Stan hierarchical idiom compiles and traces end-to-end:
     z ~ std_normal, effects = diag_pre_multiply(tau, L) * z."""
