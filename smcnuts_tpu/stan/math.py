@@ -354,7 +354,28 @@ def _ordered_logistic(y, eta, c):
     return jnp.sum(la + jnp.log(-jnp.expm1(lb - la)))
 
 
+def _multi_student_t(y, nu, mu, sigma):
+    """Multivariate Student-t log-density; like _mvn_chol_core, `y` may be
+    one (D,) vector or an (N, D) array-of-vectors (normalizer per row)."""
+    y2 = jnp.atleast_2d(jnp.asarray(y, dtype=float))
+    n, d = y2.shape
+    nu = jnp.asarray(nu, dtype=float)
+    chol = jnp.linalg.cholesky(jnp.asarray(sigma, dtype=float))
+    diff = y2 - jnp.asarray(mu, dtype=float)
+    z = jax.scipy.linalg.solve_triangular(chol, diff.T, lower=True)
+    maha = jnp.sum(z * z, axis=0)  # (N,)
+    df = float(d)
+    norm = (
+        jax.lax.lgamma((nu + df) / 2.0)
+        - jax.lax.lgamma(nu / 2.0)
+        - 0.5 * df * jnp.log(nu * math.pi)
+        - jnp.sum(jnp.log(jnp.diagonal(chol)))
+    )
+    return jnp.sum(-(nu + df) / 2.0 * jnp.log1p(maha / nu)) + n * norm
+
+
 DISTRIBUTIONS.update(
+    multi_student_t=_multi_student_t,
     categorical=_categorical,
     categorical_logit=_categorical_logit,
     multinomial=_multinomial,

@@ -1573,6 +1573,32 @@ def test_matrix_algebra_builtins():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
+def test_multi_student_t_matches_scipy():
+    """multi_student_t: single-vector and vectorized (N, D) forms against
+    scipy.stats.multivariate_t."""
+    from scipy import stats
+
+    from smcnuts_tpu.stan.math import DISTRIBUTIONS
+
+    rng = np.random.default_rng(0)
+    D = 3
+    A = rng.normal(size=(D, D))
+    S = A @ A.T + D * np.eye(D)
+    mu = rng.normal(size=D)
+    y1 = rng.normal(size=D)
+    yN = rng.normal(size=(4, D))
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["multi_student_t"](y1, 5.0, mu, S)),
+        stats.multivariate_t.logpdf(y1, loc=mu, shape=S, df=5),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(DISTRIBUTIONS["multi_student_t"](yN, 5.0, mu, S)),
+        stats.multivariate_t.logpdf(yN, loc=mu, shape=S, df=5).sum(),
+        rtol=1e-4,
+    )
+
+
 def test_discrete_densities_categorical_multinomial_ordered_logistic():
     """categorical(+_logit) / multinomial vs scipy; ordered_logistic vs the
     direct difference-of-sigmoids probabilities incl. the edge categories
