@@ -574,4 +574,21 @@ RNG_FUNCTIONS = {
     "binomial": lambda key, n, p: jax.random.binomial(
         key, n, p, _bshape(n, p)
     ).astype(float),
+    "categorical": lambda key, theta: (
+        jax.random.categorical(key, jnp.log(jnp.asarray(theta, float)))
+        + 1
+    ).astype(float),
+    "categorical_logit": lambda key, beta: (
+        jax.random.categorical(key, jnp.asarray(beta, float)) + 1
+    ).astype(float),
+    "dirichlet": lambda key, alpha: jax.random.dirichlet(
+        key, jnp.asarray(alpha, float)
+    ),
+    "multi_normal": lambda key, mu, sigma: jax.random.multivariate_normal(
+        key, jnp.asarray(mu, float), jnp.asarray(sigma, float)
+    ),
+    "multi_normal_cholesky": lambda key, mu, chol: jnp.asarray(mu, float)
+    + jnp.asarray(chol, float) @ jax.random.normal(
+        key, (jnp.shape(chol)[0],)
+    ),
 }

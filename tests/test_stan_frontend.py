@@ -1573,6 +1573,35 @@ def test_matrix_algebra_builtins():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
+def test_gq_rng_categorical_dirichlet_mvn():
+    """generated-quantities RNGs for the container distributions:
+    categorical_rng in range, dirichlet_rng on the simplex,
+    multi_normal(_cholesky)_rng right shapes; fixed-seed determinism
+    (bridgestan.py:106 semantics) holds."""
+    src = """
+    data { vector[3] a; vector[2] mu0; matrix[2,2] S0; real phi; }
+    parameters { real z; }
+    model { z ~ normal(0, 1); }
+    generated quantities {
+      int c = categorical_rng(a);
+      vector[3] w = dirichlet_rng(a);
+      vector[2] g = multi_normal_rng(mu0, S0);
+      vector[2] h = multi_normal_cholesky_rng(mu0, cholesky_decompose(S0));
+    }
+    """
+    m = compile_stan_program(
+        src, {"a": [1.0, 2.0, 3.0], "mu0": [0.0, 1.0],
+              "S0": [[1.0, 0.2], [0.2, 0.5]]}, name="gqrng"
+    )
+    u = jnp.zeros((1,), jnp.float32)
+    out = np.asarray(m.constrain(u))
+    assert out.shape == (9,)  # z, c, w[3], g[2], h[2]
+    assert out[1] in (1.0, 2.0, 3.0)
+    np.testing.assert_allclose(out[2:5].sum(), 1.0, rtol=1e-5)
+    assert np.all(out[2:5] > 0)
+    np.testing.assert_array_equal(out, np.asarray(m.constrain(u)))
+
+
 def test_multi_student_t_matches_scipy():
     """multi_student_t: single-vector and vectorized (N, D) forms against
     scipy.stats.multivariate_t."""
