@@ -1573,6 +1573,34 @@ def test_matrix_algebra_builtins():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
+def test_examples_compile_and_grad():
+    """Every shipped examples/stan/*.stan compiles against its data file
+    and yields a finite log-density and gradient at a random point — keeps
+    the examples directory from drifting as the frontend evolves."""
+    import glob
+    import json
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "..", "examples", "stan")
+    stans = sorted(glob.glob(os.path.join(here, "*.stan")))
+    assert len(stans) >= 5
+    rng = np.random.default_rng(0)
+    for path in stans:
+        with open(path) as f:
+            src = f.read()
+        with open(path.replace(".stan", ".json")) as f:
+            data = json.load(f)
+        name = os.path.splitext(os.path.basename(path))[0]
+        m = compile_stan_program(src, data, name=name)
+        u = jnp.asarray(rng.normal(0, 0.3, m.dim), jnp.float32)
+        v = float(m.logp(u, 1.0))
+        g = np.asarray(jax.grad(lambda t: m.logp(t, 1.0))(u))
+        assert np.isfinite(v), name
+        assert np.all(np.isfinite(g)), name
+        c = np.asarray(m.constrain(u))
+        assert np.all(np.isfinite(c)), name
+
+
 def test_gq_rng_categorical_dirichlet_mvn():
     """generated-quantities RNGs for the container distributions:
     categorical_rng in range, dirichlet_rng on the simplex,
