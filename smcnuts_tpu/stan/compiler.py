@@ -65,8 +65,11 @@ from .math import (
     DISTRIBUTIONS,
     ELEMENTWISE_DENSITIES,
     FUNCTIONS,
+    LCCDFS,
+    LCDFS,
     LOG_SQRT_2PI,
     RNG_FUNCTIONS,
+    truncated_lp,
 )
 from .parser import (
     Assign,
@@ -638,6 +641,25 @@ class _Interp:
                     if out is not None:
                         return out
                 return DISTRIBUTIONS[dist](*args())
+        for suffix, table in (("_lcdf", LCDFS), ("_lccdf", LCCDFS)):
+            if name.endswith(suffix):
+                dist = name[: -len(suffix)]
+                if dist not in table:
+                    raise StanCompileError(
+                        f"no CDF implemented for distribution {dist!r} "
+                        f"(supported: {', '.join(sorted(table))})"
+                    )
+                return table[dist](*args())
+        if name.endswith("_cdf"):
+            dist = name[: -len("_cdf")]
+            if dist not in LCDFS:
+                raise StanCompileError(
+                    f"no CDF implemented for distribution {dist!r} "
+                    f"(supported: {', '.join(sorted(LCDFS))})"
+                )
+            # Stan's vectorized _cdf is the PRODUCT over elements = exp of
+            # the summed log-CDF.
+            return jnp.exp(LCDFS[dist](*args()))
         if name in FUNCTIONS:
             if (
                 self.scalarize
@@ -732,6 +754,23 @@ class _Interp:
                     f"line {s.line}: unsupported distribution {dist!r}"
                 )
             raw = [self.ev(s.lhs)] + [self.ev(a) for a in s.args]
+            if s.t_lower is not None or s.t_upper is not None:
+                lo = (
+                    _as_value(self.ev(s.t_lower))
+                    if s.t_lower is not None else None
+                )
+                hi = (
+                    _as_value(self.ev(s.t_upper))
+                    if s.t_upper is not None else None
+                )
+                try:
+                    inc = truncated_lp(
+                        dist, [_as_value(v) for v in raw], lo, hi
+                    )
+                except ValueError as e:
+                    raise StanCompileError(f"line {s.line}: {e}") from None
+                self.target = self.target + inc
+                return
             inc = None
             if self.scalarize:
                 inc = self._dist_scalarized(dist, raw)
@@ -944,6 +983,9 @@ class _Interp:
                 walk_expr(st.lhs)
                 for a in st.args:
                     walk_expr(a)
+                for b in (st.t_lower, st.t_upper):
+                    if b is not None:
+                        walk_expr(b)
             elif isinstance(st, For):
                 if st.var == var:
                     raise _ScanLoweringError("inner loop shadows loop var")
@@ -1687,6 +1729,8 @@ def _body_has_carried_dep(body, loopvar) -> bool:
                 reads(st.lhs)
                 for a in st.args:
                     reads(a)
+                reads(st.t_lower)
+                reads(st.t_upper)
             elif isinstance(st, For):
                 reads(st.lo)
                 reads(st.hi)

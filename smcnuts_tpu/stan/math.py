@@ -114,6 +114,103 @@ def _chi_square(y, nu):
     )
 
 
+def _inv_chi_square(y, nu):
+    return (
+        -nu / 2.0 * math.log(2.0)
+        - jax.lax.lgamma(nu / 2.0)
+        - (nu / 2.0 + 1.0) * jnp.log(y)
+        - 0.5 / y
+    )
+
+
+def _scaled_inv_chi_square(y, nu, s):
+    return (
+        nu / 2.0 * jnp.log(nu / 2.0)
+        + nu * jnp.log(s)
+        - jax.lax.lgamma(nu / 2.0)
+        - (nu / 2.0 + 1.0) * jnp.log(y)
+        - nu * s * s / (2.0 * y)
+    )
+
+
+def _logistic(y, mu, sigma):
+    z = (y - mu) / sigma
+    return -z - jnp.log(sigma) - 2.0 * jax.nn.softplus(-z)
+
+
+def _gumbel(y, mu, beta):
+    z = (y - mu) / beta
+    return -jnp.log(beta) - z - jnp.exp(-z)
+
+
+def _weibull(y, alpha, sigma):
+    return (
+        jnp.log(alpha)
+        - alpha * jnp.log(sigma)
+        + (alpha - 1.0) * jnp.log(y)
+        - (y / sigma) ** alpha
+    )
+
+
+def _frechet(y, alpha, sigma):
+    return (
+        jnp.log(alpha)
+        - jnp.log(sigma)
+        + (-alpha - 1.0) * jnp.log(y / sigma)
+        - (y / sigma) ** (-alpha)
+    )
+
+
+def _pareto(y, y_min, alpha):
+    lp = jnp.log(alpha) + alpha * jnp.log(y_min) - (alpha + 1.0) * jnp.log(y)
+    return jnp.where(y >= y_min, lp, -jnp.inf)
+
+
+def _pareto_type_2(y, mu, lam, alpha):
+    lp = (
+        jnp.log(alpha)
+        - jnp.log(lam)
+        - (alpha + 1.0) * jnp.log1p((y - mu) / lam)
+    )
+    return jnp.where(y >= mu, lp, -jnp.inf)
+
+
+def _rayleigh(y, sigma):
+    return jnp.log(y) - 2.0 * jnp.log(sigma) - y * y / (2.0 * sigma * sigma)
+
+
+def _skew_normal(y, xi, omega, alpha):
+    z = (y - xi) / omega
+    return (
+        math.log(2.0)
+        - jnp.log(omega)
+        - 0.5 * z * z
+        - LOG_SQRT_2PI
+        + jax.scipy.special.log_ndtr(alpha * z)
+    )
+
+
+def _von_mises(y, mu, kappa):
+    # log I0(kappa) = kappa + log i0e(kappa), overflow-safe for large kappa
+    return (
+        kappa * jnp.cos(y - mu)
+        - math.log(2.0 * math.pi)
+        - (kappa + jnp.log(jax.scipy.special.i0e(kappa)))
+    )
+
+
+def _exp_mod_normal(y, mu, sigma, lam):
+    # log erfc(x) = log 2 + log_ndtr(-x*sqrt(2)): keeps the density finite
+    # where erfc underflows (y far into the Gaussian-dominated tail)
+    arg = (mu + lam * sigma * sigma - y) / sigma
+    return (
+        jnp.log(lam / 2.0)
+        + lam / 2.0 * (2.0 * mu + lam * sigma * sigma - 2.0 * y)
+        + math.log(2.0)
+        + jax.scipy.special.log_ndtr(-arg)
+    )
+
+
 # ---- log probability mass functions ----
 
 def _poisson(y, lam):
@@ -154,6 +251,294 @@ def _neg_binomial_2(y, mu, phi):
     )
 
 
+# ---- log CDFs / CCDFs ----
+#
+# Elementwise, matching the parameterizations above. They serve (a) the
+# user-callable `<dist>_lcdf` / `<dist>_lccdf` / `<dist>_cdf` functions
+# (Stan container semantics: lcdf/lccdf SUM over elements, cdf is the
+# product) and (b) truncated sampling statements `y ~ dist(...) T[lo, hi]`
+# (`truncated_lp` below). Written in log-stable forms; `where` branches use
+# clamped inputs so the untaken branch cannot poison gradients (the
+# where-vjp multiplies BOTH branch cotangents before selecting).
+
+def _normal_lcdf(y, mu, sigma):
+    return jax.scipy.special.log_ndtr((y - mu) / sigma)
+
+
+def _normal_lccdf(y, mu, sigma):
+    return jax.scipy.special.log_ndtr(-(y - mu) / sigma)
+
+
+def _cauchy_lcdf_z(z):
+    # cdf = 1/2 + atan(z)/pi = atan2(1, -z)/pi; atan2 keeps the tail
+    # cdf ~ 1/(pi*|z|) representable, so the log is accurate to -inf.
+    return jnp.log(jnp.arctan2(1.0, -z)) - jnp.log(jnp.pi)
+
+
+def _student_t_lcdf_z(z, nu):
+    # F(z) = 1/2 I_x(nu/2, 1/2) for z <= 0, x = nu/(nu + z^2); mirrored
+    # above zero. (betainc has no d/da in JAX: nu must be data to grad.)
+    x = nu / (nu + z * z)
+    ib = jax.scipy.special.betainc(nu / 2.0, 0.5, x)
+    return jnp.where(z <= 0.0, jnp.log(0.5 * ib), jnp.log1p(-0.5 * ib))
+
+
+def _exponential_lcdf(y, rate):
+    return jnp.log(-jnp.expm1(-rate * y))
+
+
+def _gamma_lcdf(y, alpha, beta):
+    return jnp.log(jax.scipy.special.gammainc(alpha, beta * y))
+
+
+def _gamma_lccdf(y, alpha, beta):
+    return jnp.log(jax.scipy.special.gammaincc(alpha, beta * y))
+
+
+def _inv_gamma_lcdf(y, alpha, beta):
+    return jnp.log(jax.scipy.special.gammaincc(alpha, beta / y))
+
+
+def _inv_gamma_lccdf(y, alpha, beta):
+    return jnp.log(jax.scipy.special.gammainc(alpha, beta / y))
+
+
+def _beta_lcdf(y, a, b):
+    return jnp.log(jax.scipy.special.betainc(a, b, y))
+
+
+def _beta_lccdf(y, a, b):
+    # 1 - I_y(a, b) = I_{1-y}(b, a), exact in log space
+    return jnp.log(jax.scipy.special.betainc(b, a, 1.0 - y))
+
+
+def _uniform_lcdf(y, a, b):
+    return jnp.log(jnp.clip((y - a) / (b - a), 0.0, 1.0))
+
+
+def _uniform_lccdf(y, a, b):
+    return jnp.log(jnp.clip((b - y) / (b - a), 0.0, 1.0))
+
+
+def _dexp_lcdf_z(z):
+    zn = jnp.minimum(z, 0.0)
+    zp = jnp.maximum(z, 0.0)
+    return jnp.where(
+        z <= 0.0, math.log(0.5) + zn, jnp.log1p(-0.5 * jnp.exp(-zp))
+    )
+
+
+def _chi_square_lcdf(y, nu):
+    return jnp.log(jax.scipy.special.gammainc(nu / 2.0, y / 2.0))
+
+
+def _chi_square_lccdf(y, nu):
+    return jnp.log(jax.scipy.special.gammaincc(nu / 2.0, y / 2.0))
+
+
+def _lognormal_lcdf(y, mu, sigma):
+    return _normal_lcdf(jnp.log(y), mu, sigma)
+
+
+def _lognormal_lccdf(y, mu, sigma):
+    return _normal_lccdf(jnp.log(y), mu, sigma)
+
+
+def _poisson_lcdf(y, lam):
+    # P(Y <= y) = Q(floor(y) + 1, lam), the regularized upper gamma
+    return jnp.log(jax.scipy.special.gammaincc(jnp.floor(y) + 1.0, lam))
+
+
+def _poisson_lccdf(y, lam):
+    return jnp.log(jax.scipy.special.gammainc(jnp.floor(y) + 1.0, lam))
+
+
+def _binomial_lcdf(y, n, p):
+    # P(Y <= y) = I_{1-p}(n - y, y + 1); y == n clamps to 0 (cdf = 1)
+    a = jnp.maximum(n - y, 1.0)
+    v = jax.scipy.special.betainc(a, y + 1.0, 1.0 - p)
+    return jnp.where(y >= n, 0.0, jnp.log(v))
+
+
+def _binomial_lccdf(y, n, p):
+    b = jnp.maximum(n - y, 1.0)
+    v = jax.scipy.special.betainc(y + 1.0, b, p)
+    return jnp.where(y >= n, -jnp.inf, jnp.log(v))
+
+
+def _nb2_lcdf(y, mu, phi):
+    return jnp.log(
+        jax.scipy.special.betainc(phi, y + 1.0, phi / (phi + mu))
+    )
+
+
+def _nb2_lccdf(y, mu, phi):
+    return jnp.log(
+        jax.scipy.special.betainc(y + 1.0, phi, mu / (phi + mu))
+    )
+
+
+def _log1m_exp(x):
+    """log(1 - exp(x)) for x <= 0."""
+    return jnp.log(-jnp.expm1(x))
+
+
+def _pareto_lccdf(y, y_min, alpha):
+    return jnp.where(
+        y >= y_min, alpha * (jnp.log(y_min) - jnp.log(jnp.maximum(y, y_min))),
+        0.0,
+    )
+
+
+def _pareto2_lccdf(y, mu, lam, alpha):
+    return jnp.where(
+        y >= mu, -alpha * jnp.log1p(jnp.maximum(y - mu, 0.0) / lam), 0.0
+    )
+
+
+ELEMENTWISE_LCDFS = {
+    "inv_chi_square": lambda y, nu: jnp.log(
+        jax.scipy.special.gammaincc(nu / 2.0, 0.5 / y)
+    ),
+    "scaled_inv_chi_square": lambda y, nu, s: jnp.log(
+        jax.scipy.special.gammaincc(nu / 2.0, nu * s * s / (2.0 * y))
+    ),
+    "logistic": lambda y, mu, s: jax.nn.log_sigmoid((y - mu) / s),
+    "gumbel": lambda y, mu, b: -jnp.exp(-(y - mu) / b),
+    "weibull": lambda y, a, s: _log1m_exp(-((y / s) ** a)),
+    "frechet": lambda y, a, s: -((y / s) ** (-a)),
+    "pareto": lambda y, ym, a: _log1m_exp(_pareto_lccdf(y, ym, a)),
+    "pareto_type_2": lambda y, mu, lam, a: _log1m_exp(
+        _pareto2_lccdf(y, mu, lam, a)
+    ),
+    "rayleigh": lambda y, s: _log1m_exp(-y * y / (2.0 * s * s)),
+    "normal": _normal_lcdf,
+    "std_normal": lambda y: _normal_lcdf(y, 0.0, 1.0),
+    "cauchy": lambda y, mu, g: _cauchy_lcdf_z((y - mu) / g),
+    "student_t": lambda y, nu, mu, s: _student_t_lcdf_z((y - mu) / s, nu),
+    "exponential": _exponential_lcdf,
+    "gamma": _gamma_lcdf,
+    "inv_gamma": _inv_gamma_lcdf,
+    "lognormal": _lognormal_lcdf,
+    "beta": _beta_lcdf,
+    "uniform": _uniform_lcdf,
+    "double_exponential": lambda y, mu, s: _dexp_lcdf_z((y - mu) / s),
+    "chi_square": _chi_square_lcdf,
+    "poisson": _poisson_lcdf,
+    "poisson_log": lambda y, eta: _poisson_lcdf(y, jnp.exp(eta)),
+    "bernoulli": lambda y, p: jnp.where(y >= 1.0, 0.0, jnp.log1p(-p)),
+    "bernoulli_logit": lambda y, a: jnp.where(
+        y >= 1.0, 0.0, jax.nn.log_sigmoid(-a)
+    ),
+    "binomial": _binomial_lcdf,
+    "neg_binomial_2": _nb2_lcdf,
+}
+
+ELEMENTWISE_LCCDFS = {
+    "inv_chi_square": lambda y, nu: jnp.log(
+        jax.scipy.special.gammainc(nu / 2.0, 0.5 / y)
+    ),
+    "scaled_inv_chi_square": lambda y, nu, s: jnp.log(
+        jax.scipy.special.gammainc(nu / 2.0, nu * s * s / (2.0 * y))
+    ),
+    "logistic": lambda y, mu, s: jax.nn.log_sigmoid(-(y - mu) / s),
+    "gumbel": lambda y, mu, b: _log1m_exp(-jnp.exp(-(y - mu) / b)),
+    "weibull": lambda y, a, s: -((y / s) ** a),
+    "frechet": lambda y, a, s: _log1m_exp(-((y / s) ** (-a))),
+    "pareto": _pareto_lccdf,
+    "pareto_type_2": _pareto2_lccdf,
+    "rayleigh": lambda y, s: -y * y / (2.0 * s * s),
+    "normal": _normal_lccdf,
+    "std_normal": lambda y: _normal_lccdf(y, 0.0, 1.0),
+    "cauchy": lambda y, mu, g: _cauchy_lcdf_z(-(y - mu) / g),
+    "student_t": lambda y, nu, mu, s: _student_t_lcdf_z(-(y - mu) / s, nu),
+    "exponential": lambda y, rate: -rate * y,
+    "gamma": _gamma_lccdf,
+    "inv_gamma": _inv_gamma_lccdf,
+    "lognormal": _lognormal_lccdf,
+    "beta": _beta_lccdf,
+    "uniform": _uniform_lccdf,
+    "double_exponential": lambda y, mu, s: _dexp_lcdf_z(-(y - mu) / s),
+    "chi_square": _chi_square_lccdf,
+    "poisson": _poisson_lccdf,
+    "poisson_log": lambda y, eta: _poisson_lccdf(y, jnp.exp(eta)),
+    "bernoulli": lambda y, p: jnp.where(
+        y >= 1.0, -jnp.inf, jnp.log(p)
+    ),
+    "bernoulli_logit": lambda y, a: jnp.where(
+        y >= 1.0, -jnp.inf, jax.nn.log_sigmoid(a)
+    ),
+    "binomial": _binomial_lccdf,
+    "neg_binomial_2": _nb2_lccdf,
+}
+
+# Truncated sampling statements follow Stan's CONTINUOUS semantics
+# (normalize by F(hi) - F(lo)); the discrete convention differs (the lower
+# denominator term is F(lo - 1)), so discrete families are rejected rather
+# than silently mis-normalized.
+DISCRETE_DISTRIBUTIONS = frozenset({
+    "poisson", "poisson_log", "bernoulli", "bernoulli_logit", "binomial",
+    "neg_binomial_2", "categorical", "categorical_logit", "multinomial",
+    "ordered_logistic",
+})
+
+
+def truncated_lp(dist, args, lo=None, hi=None):
+    """Summed log-density of the truncated sampling statement
+    `y ~ dist(args) T[lo, hi]` (Stan reference manual, truncation chapter):
+    per element, lpdf(y) - log(F(hi) - F(lo)) inside the bounds and -inf
+    outside. `args` is [y, *params]; bounds broadcast like parameters and
+    may be traced (gradients flow through the CDFs at the bounds).
+    """
+    if dist in DISCRETE_DISTRIBUTIONS:
+        raise ValueError(
+            f"truncation (T[,]) of the discrete distribution {dist!r} is "
+            "not supported (Stan's discrete truncation normalizes by "
+            "F(lo - 1); only continuous families are implemented)"
+        )
+    density = ELEMENTWISE_DENSITIES.get(dist)
+    if density is None:
+        raise ValueError(
+            f"truncation requires an elementwise density for {dist!r}"
+        )
+    lcdf = ELEMENTWISE_LCDFS.get(dist)
+    lccdf = ELEMENTWISE_LCCDFS.get(dist)
+    if (hi is not None and lcdf is None) or (
+        lo is not None and hi is None and lccdf is None
+    ):
+        raise ValueError(
+            f"no CDF implemented for {dist!r}; truncation unavailable "
+            f"(supported: {', '.join(sorted(ELEMENTWISE_LCDFS))})"
+        )
+    bounds = [b for b in (lo, hi) if b is not None]
+    n = len(args)
+    all_b = jnp.broadcast_arrays(
+        *(jnp.asarray(a, dtype=float) for a in (*args, *bounds))
+    )
+    y, params, bnds = all_b[0], all_b[1:n], all_b[n:]
+    ll = density(y, *params)
+    in_range = jnp.ones(y.shape, bool)
+    i = 0
+    if lo is not None:
+        lo_b = bnds[i]
+        i += 1
+        in_range = jnp.logical_and(in_range, y >= lo_b)
+    if hi is not None:
+        hi_b = bnds[i]
+        in_range = jnp.logical_and(in_range, y <= hi_b)
+    if lo is not None and hi is not None:
+        la = lcdf(hi_b, *params)
+        lb = lcdf(lo_b, *params)
+        lnorm = la + jnp.log(-jnp.expm1(lb - la))
+    elif lo is not None:
+        lnorm = lccdf(lo_b, *params)
+    elif hi is not None:
+        lnorm = lcdf(hi_b, *params)
+    else:
+        lnorm = 0.0
+    return jnp.sum(jnp.where(in_range, ll - lnorm, -jnp.inf))
+
+
 # Raw per-element densities (no broadcast/sum wrapper). The compiler's
 # scalarize mode (Pallas tile bodies) calls these one element at a time so
 # terms fold straight into the unrolled chain with no container stacking.
@@ -170,6 +555,18 @@ ELEMENTWISE_DENSITIES = {
     "uniform": _uniform,
     "double_exponential": _double_exponential,
     "chi_square": _chi_square,
+    "inv_chi_square": _inv_chi_square,
+    "scaled_inv_chi_square": _scaled_inv_chi_square,
+    "logistic": _logistic,
+    "gumbel": _gumbel,
+    "weibull": _weibull,
+    "frechet": _frechet,
+    "pareto": _pareto,
+    "pareto_type_2": _pareto_type_2,
+    "rayleigh": _rayleigh,
+    "skew_normal": _skew_normal,
+    "von_mises": _von_mises,
+    "exp_mod_normal": _exp_mod_normal,
     "poisson": _poisson,
     "poisson_log": _poisson_log,
     "bernoulli": _bernoulli,
@@ -179,6 +576,12 @@ ELEMENTWISE_DENSITIES = {
 }
 
 DISTRIBUTIONS = {k: _lp(v) for k, v in ELEMENTWISE_DENSITIES.items()}
+
+# User-callable `<dist>_lcdf(y | ...)` / `<dist>_lccdf(y | ...)`: Stan sums
+# the elementwise log-CDFs over containers (and `<dist>_cdf` is the
+# product, i.e. exp of the sum — handled in the compiler).
+LCDFS = {k: _lp(v) for k, v in ELEMENTWISE_LCDFS.items()}
+LCCDFS = {k: _lp(v) for k, v in ELEMENTWISE_LCCDFS.items()}
 
 
 # ---- joint (non-elementwise) densities ----
@@ -451,6 +854,11 @@ FUNCTIONS = {
     "erf": jax.scipy.special.erf,
     "erfc": jax.scipy.special.erfc,
     "Phi": lambda x: jax.scipy.stats.norm.cdf(_as_arr(x)),
+    "inv_Phi": lambda x: jax.scipy.special.ndtri(_as_arr(x)),
+    # Stan's logistic approximation to Phi (reference manual definition).
+    "Phi_approx": lambda x: jax.nn.sigmoid(
+        0.07056 * _as_arr(x) ** 3 + 1.5976 * _as_arr(x)
+    ),
     "log_sum_exp": lambda *a: jax.scipy.special.logsumexp(
         jnp.stack([_as_arr(x) for x in a]) if len(a) > 1 else _as_arr(a[0])
     ),
@@ -552,6 +960,37 @@ RNG_FUNCTIONS = {
     ),
     "chi_square": lambda key, nu: 2.0 * jax.random.gamma(
         key, jnp.asarray(nu, float) / 2.0
+    ),
+    "inv_chi_square": lambda key, nu: 0.5 / jax.random.gamma(
+        key, jnp.asarray(nu, float) / 2.0
+    ),
+    "scaled_inv_chi_square": lambda key, nu, s: (
+        jnp.asarray(nu, float) * jnp.asarray(s, float) ** 2 / 2.0
+    ) / jax.random.gamma(key, jnp.asarray(nu, float) / 2.0),
+    "logistic": lambda key, mu, s: mu + s * jax.scipy.special.logit(
+        jax.random.uniform(key, _bshape(mu, s))
+    ),
+    "gumbel": lambda key, mu, b: mu - b * jnp.log(
+        jax.random.exponential(key, _bshape(mu, b))
+    ),
+    "weibull": lambda key, a, s: s * jax.random.exponential(
+        key, _bshape(a, s)
+    ) ** (1.0 / jnp.asarray(a, float)),
+    "frechet": lambda key, a, s: s * jax.random.exponential(
+        key, _bshape(a, s)
+    ) ** (-1.0 / jnp.asarray(a, float)),
+    "pareto": lambda key, ym, a: ym * jnp.exp(
+        jax.random.exponential(key, _bshape(ym, a)) / jnp.asarray(a, float)
+    ),
+    "pareto_type_2": lambda key, mu, lam, a: mu + lam * (
+        jnp.exp(
+            jax.random.exponential(key, _bshape(mu, lam, a))
+            / jnp.asarray(a, float)
+        )
+        - 1.0
+    ),
+    "rayleigh": lambda key, s: s * jnp.sqrt(
+        2.0 * jax.random.exponential(key, _bshape(s))
     ),
     "double_exponential": lambda key, mu, sigma: mu - sigma * jnp.sign(
         jax.random.uniform(key, _bshape(mu, sigma)) - 0.5

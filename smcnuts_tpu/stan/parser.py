@@ -175,6 +175,9 @@ class Sampling:
     dist: str
     args: list
     line: int = 0
+    # Truncation bounds from `T[lo, hi]` (None when absent / one-sided).
+    t_lower: Any = None
+    t_upper: Any = None
 
 
 @dataclasses.dataclass
@@ -434,10 +437,21 @@ class _Parser:
             self.expect("(")
             args = self.parse_call_args()
             self.expect(")")
-            if self.cur.text == "T":  # truncation T[a,b] unsupported
-                self.fail("truncated distributions (T[,]) are not supported")
+            t_lower = t_upper = None
+            if self.cur.text == "T":  # truncation T[lo, hi] / T[lo, ] / T[, hi]
+                self.advance()
+                self.expect("[")
+                if self.cur.text != ",":
+                    t_lower = self.parse_expr()
+                self.expect(",")
+                if self.cur.text != "]":
+                    t_upper = self.parse_expr()
+                self.expect("]")
+                if t_lower is None and t_upper is None:
+                    self.fail("empty truncation T[,]")
             self.expect(";")
-            return Sampling(lhs, dist.text, args, line=tok.line)
+            return Sampling(lhs, dist.text, args, line=tok.line,
+                            t_lower=t_lower, t_upper=t_upper)
         for op in ("=", "+=", "-=", "*=", "/="):
             if self.cur.text == op:
                 self.advance()
