@@ -251,6 +251,30 @@ def _neg_binomial_2(y, mu, phi):
     )
 
 
+def _neg_binomial_2_log(y, eta, phi):
+    # log-mean parameterization, stable via softplus: log(phi + mu) =
+    # log phi + softplus(eta - log phi)
+    log_phi = jnp.log(phi)
+    log_phi_mu = log_phi + jax.nn.softplus(eta - log_phi)
+    return (
+        jax.lax.lgamma(y + phi)
+        - jax.lax.lgamma(phi)
+        - jax.lax.lgamma(y + 1.0)
+        + phi * (log_phi - log_phi_mu)
+        + y * (eta - log_phi_mu)
+    )
+
+
+def _binomial_logit(y, n, alpha):
+    return (
+        jax.lax.lgamma(n + 1.0)
+        - jax.lax.lgamma(y + 1.0)
+        - jax.lax.lgamma(n - y + 1.0)
+        + y * jax.nn.log_sigmoid(alpha)
+        + (n - y) * jax.nn.log_sigmoid(-alpha)
+    )
+
+
 # ---- log CDFs / CCDFs ----
 #
 # Elementwise, matching the parameterizations above. They serve (a) the
@@ -478,8 +502,8 @@ ELEMENTWISE_LCCDFS = {
 # than silently mis-normalized.
 DISCRETE_DISTRIBUTIONS = frozenset({
     "poisson", "poisson_log", "bernoulli", "bernoulli_logit", "binomial",
-    "neg_binomial_2", "categorical", "categorical_logit", "multinomial",
-    "ordered_logistic",
+    "binomial_logit", "neg_binomial_2", "neg_binomial_2_log", "categorical",
+    "categorical_logit", "multinomial", "ordered_logistic",
 })
 
 
@@ -572,7 +596,9 @@ ELEMENTWISE_DENSITIES = {
     "bernoulli": _bernoulli,
     "bernoulli_logit": _bernoulli_logit,
     "binomial": _binomial,
+    "binomial_logit": _binomial_logit,
     "neg_binomial_2": _neg_binomial_2,
+    "neg_binomial_2_log": _neg_binomial_2_log,
 }
 
 DISTRIBUTIONS = {k: _lp(v) for k, v in ELEMENTWISE_DENSITIES.items()}
@@ -777,7 +803,58 @@ def _multi_student_t(y, nu, mu, sigma):
     return jnp.sum(-(nu + df) / 2.0 * jnp.log1p(maha / nu)) + n * norm
 
 
+# ---- GLM fused densities ----
+# Stan Math's *_glm families: the linear predictor eta = alpha + X @ beta
+# is computed ONCE as a matmul (the MXU-friendly form) and fed to the
+# elementwise density, summed. alpha broadcasts (scalar or per-row vector).
+
+def _glm_eta(x, alpha, beta):
+    x = jnp.asarray(x, dtype=float)
+    return jnp.asarray(alpha, dtype=float) + x @ jnp.asarray(
+        beta, dtype=float
+    )
+
+
+def _normal_id_glm(y, x, alpha, beta, sigma):
+    return jnp.sum(
+        _normal(jnp.asarray(y, dtype=float), _glm_eta(x, alpha, beta),
+                jnp.asarray(sigma, dtype=float))
+    )
+
+
+def _bernoulli_logit_glm(y, x, alpha, beta):
+    return jnp.sum(
+        _bernoulli_logit(
+            jnp.asarray(y, dtype=float), _glm_eta(x, alpha, beta)
+        )
+    )
+
+
+def _poisson_log_glm(y, x, alpha, beta):
+    return jnp.sum(
+        _poisson_log(jnp.asarray(y, dtype=float), _glm_eta(x, alpha, beta))
+    )
+
+
+def _neg_binomial_2_log_glm(y, x, alpha, beta, phi):
+    return jnp.sum(
+        _neg_binomial_2_log(
+            jnp.asarray(y, dtype=float), _glm_eta(x, alpha, beta),
+            jnp.asarray(phi, dtype=float),
+        )
+    )
+
+
+def _ordered_logistic_glm(y, x, beta, c):
+    return _ordered_logistic(y, _glm_eta(x, 0.0, beta), c)
+
+
 DISTRIBUTIONS.update(
+    normal_id_glm=_normal_id_glm,
+    bernoulli_logit_glm=_bernoulli_logit_glm,
+    poisson_log_glm=_poisson_log_glm,
+    neg_binomial_2_log_glm=_neg_binomial_2_log_glm,
+    ordered_logistic_glm=_ordered_logistic_glm,
     multi_student_t=_multi_student_t,
     categorical=_categorical,
     categorical_logit=_categorical_logit,

@@ -170,3 +170,72 @@ def test_inv_phi_and_phi_approx():
         + 0.5
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_neg_binomial_2_log_and_binomial_logit():
+    from smcnuts_tpu.stan.math import DISTRIBUTIONS
+
+    eta, phi = 1.3, 2.5
+    mu = np.exp(eta)
+    for y in [0.0, 2.0, 7.0]:
+        np.testing.assert_allclose(
+            float(DISTRIBUTIONS["neg_binomial_2_log"](
+                jnp.float32(y), jnp.float32(eta), jnp.float32(phi)
+            )),
+            stats.nbinom(phi, phi / (phi + mu)).logpmf(y), rtol=1e-4,
+        )
+    a = 0.8
+    for y in [0.0, 3.0, 10.0]:
+        np.testing.assert_allclose(
+            float(DISTRIBUTIONS["binomial_logit"](
+                jnp.float32(y), jnp.float32(10.0), jnp.float32(a)
+            )),
+            stats.binom(10, 1.0 / (1.0 + np.exp(-a))).logpmf(y), rtol=1e-4,
+        )
+
+
+def test_glm_densities_match_composition():
+    """The fused *_glm forms must equal alpha + X @ beta fed through the
+    base density, via a real .stan program."""
+    rng = np.random.default_rng(5)
+    n, d = 12, 3
+    X = rng.normal(size=(n, d))
+    yb = (rng.uniform(size=n) < 0.5).astype(float)
+    yp = rng.poisson(2.0, size=n).astype(float)
+    yn = rng.normal(size=n)
+    src = """
+    data {
+      int<lower=1> n; int<lower=1> d; matrix[n, d] X;
+      vector[n] yb; vector[n] yp; vector[n] yn;
+    }
+    parameters { real alpha; vector[d] beta; real<lower=0> sigma; }
+    model {
+      yb ~ bernoulli_logit_glm(X, alpha, beta);
+      yp ~ poisson_log_glm(X, alpha, beta);
+      yn ~ normal_id_glm(X, alpha, beta, sigma);
+      target += neg_binomial_2_log_glm_lpmf(yp | X, alpha, beta, 3.0);
+    }
+    """
+    m = compile_stan_program(
+        src,
+        {"n": n, "d": d, "X": X.tolist(), "yb": yb.tolist(),
+         "yp": yp.tolist(), "yn": yn.tolist()},
+        name="glm",
+    )
+    th = np.concatenate([[0.4], [0.3, -0.2, 0.1], [0.25]])
+    alpha, beta, sig = 0.4, np.array([0.3, -0.2, 0.1]), float(np.exp(0.25))
+    eta = alpha + X @ beta
+    p = 1.0 / (1.0 + np.exp(-eta))
+    lam = np.exp(eta)
+    phi = 3.0
+    want = (
+        stats.bernoulli(p).logpmf(yb).sum()
+        + stats.poisson(lam).logpmf(yp).sum()
+        + stats.norm(eta, sig).logpdf(yn).sum()
+        + stats.nbinom(phi, phi / (phi + lam)).logpmf(yp).sum()
+        + 0.25  # exp-transform Jacobian of sigma
+    )
+    got = float(m.logp(jnp.asarray(th, jnp.float32), 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    g = jax.grad(lambda t: m.logp(t, 1.0))(jnp.asarray(th, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
