@@ -455,10 +455,33 @@ class _Interp:
                 else:
                     sel.append(_require_int(i, "index") - 1)
             return base[tuple(sel)]
-        # numpy / jnp container: concrete 1-based indices
+        # numpy / jnp container: concrete 1-based indices; a data int ARRAY
+        # index gathers (Stan multi-indexing, e.g. y[idx] or a[county]) —
+        # indices are data so bounds are checked eagerly. A gather KEEPS its
+        # axis, so `ax` tracks where the next index applies.
         out = base
+        ax = 0
         for i in idxs:
-            out = out[_require_int(i, "index") - 1]
+            iv = np.asarray(i) if isinstance(i, (list, np.ndarray)) else i
+            if isinstance(iv, np.ndarray) and iv.ndim == 1 and iv.size and (
+                np.issubdtype(iv.dtype, np.integer)
+                or np.all(iv == iv.astype(np.int64))
+            ):
+                iv = iv.astype(np.int64)
+                size = np.shape(out)[ax]
+                if not (1 <= iv.min() and iv.max() <= size):
+                    raise StanCompileError(
+                        f"multi-index out of bounds: values span "
+                        f"[{iv.min()}, {iv.max()}] for dimension of size "
+                        f"{size}"
+                    )
+                out = jnp.take(jnp.asarray(out), jnp.asarray(iv - 1),
+                               axis=ax)
+                ax += 1
+            else:
+                out = jnp.take(
+                    jnp.asarray(out), _require_int(i, "index") - 1, axis=ax
+                ) if ax else out[_require_int(i, "index") - 1]
         return out
 
     def _binop(self, node: Bin):

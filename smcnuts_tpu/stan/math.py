@@ -876,6 +876,54 @@ def _as_arr(x):
     return jnp.asarray(x, dtype=float)
 
 
+def _append_row(a, b):
+    a2, b2 = _as_arr(a), _as_arr(b)
+    if a2.ndim <= 1 and b2.ndim <= 1:
+        return jnp.concatenate([jnp.atleast_1d(a2), jnp.atleast_1d(b2)])
+    return jnp.vstack([jnp.atleast_2d(a2), jnp.atleast_2d(b2)])
+
+
+def _append_col(a, b):
+    """Orientation is untracked here (1-D arrays act as column vectors, as
+    in this frontend's matmul semantics), so: scalar+1-D concatenates (the
+    row-vector idiom), 1-D+1-D column-stacks to (N, 2) (the design-matrix
+    idiom), anything with a matrix hstacks."""
+    a2, b2 = _as_arr(a), _as_arr(b)
+    if a2.ndim == 0 or b2.ndim == 0:
+        return jnp.concatenate([jnp.atleast_1d(a2), jnp.atleast_1d(b2)])
+    if a2.ndim == 1 and b2.ndim == 1:
+        return jnp.stack([a2, b2], axis=1)
+    if a2.ndim == 1:
+        a2 = a2[:, None]
+    if b2.ndim == 1:
+        b2 = b2[:, None]
+    return jnp.hstack([a2, b2])
+
+
+def _rep_matrix(x, m, n=None):
+    if n is None:  # rep_matrix(vector, n): the vector as n identical columns
+        return jnp.tile(_as_arr(x)[:, None], (1, int(m)))
+    return jnp.full((int(m), int(n)), x, dtype=float)
+
+
+def _to_matrix(v, m=None, n=None):
+    if m is None:
+        return jnp.atleast_2d(_as_arr(v))
+    # Stan fills COLUMN-major
+    return jnp.reshape(_as_arr(v), (int(n), int(m))).T
+
+
+def _log_mix(*a):
+    if len(a) == 2:  # log_mix(simplex theta, vector lp)
+        theta, lps = _as_arr(a[0]), _as_arr(a[1])
+        return jax.scipy.special.logsumexp(jnp.log(theta) + lps)
+    theta, lp1, lp2 = a
+    theta = _as_arr(theta)
+    return jnp.logaddexp(
+        jnp.log(theta) + _as_arr(lp1), jnp.log1p(-theta) + _as_arr(lp2)
+    )
+
+
 FUNCTIONS = {
     "exp": jnp.exp,
     "log": jnp.log,
@@ -938,6 +986,21 @@ FUNCTIONS = {
     ),
     "log_sum_exp": lambda *a: jax.scipy.special.logsumexp(
         jnp.stack([_as_arr(x) for x in a]) if len(a) > 1 else _as_arr(a[0])
+    ),
+    "log_mix": _log_mix,
+    "log_diff_exp": lambda a, b: _as_arr(a) + jnp.log(
+        -jnp.expm1(_as_arr(b) - _as_arr(a))
+    ),
+    "append_row": _append_row,
+    "append_col": _append_col,
+    "rep_matrix": _rep_matrix,
+    "to_matrix": _to_matrix,
+    "to_row_vector": lambda x: jnp.ravel(_as_arr(x)),
+    "columns_dot_product": lambda a, b: jnp.sum(
+        _as_arr(a) * _as_arr(b), axis=0
+    ),
+    "rows_dot_product": lambda a, b: jnp.sum(
+        _as_arr(a) * _as_arr(b), axis=1
     ),
     "softmax": jax.nn.softmax,
     "log_softmax": jax.nn.log_softmax,
