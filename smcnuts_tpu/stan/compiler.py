@@ -630,6 +630,16 @@ class _Interp:
     def _call(self, node: Call):
         name = node.name
         raw = [self.ev(a) for a in node.args]
+        if name == "__stack__":  # {a, b, c} / [a, b, c] literals
+            vals = [_as_value(v) for v in raw]
+            if not vals:
+                return np.zeros((0,))
+            if all(isinstance(v, (int, np.integer)) for v in vals):
+                # keep static ints static: {1, 3} stays a data index array
+                return np.asarray(vals, dtype=np.int64)
+            return jnp.stack(
+                [jnp.asarray(v, dtype=float) for v in vals]
+            )
         # _as_value STACKS _LocalArray containers — evaluated lazily so the
         # scalarized paths (which read containers element-by-element) never
         # trace a dead whole-container stack into the jaxpr (pallas lowers

@@ -692,6 +692,19 @@ class _Parser:
             expr = self.parse_expr()
             self.expect(")")
             return expr
+        if tok.text in ("{", "["):
+            # Array literal {a, b, c} / row-vector literal [a, b, c]
+            # (orientation is untracked; both stack along a new leading
+            # axis, so [..]' round-trips through the transpose builtin).
+            close = "}" if tok.text == "{" else "]"
+            self.advance()
+            elems = []
+            if self.cur.text != close:
+                elems.append(self.parse_expr())
+                while self.accept(","):
+                    elems.append(self.parse_expr())
+            self.expect(close)
+            return Call("__stack__", elems)
         if tok.kind == "id":
             self.advance()
             if self.cur.text == "(":

@@ -213,3 +213,25 @@ def test_hierarchical_models_end_to_end():
     assert np.isfinite(float(m2.logp(th2, 1.0)))
     g2 = jax.grad(lambda t: m2.logp(t, 1.0))(th2)
     assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_array_and_row_vector_literals():
+    """{a, b, c} array literals and [a, b]' row-vector literals; an
+    all-int brace literal stays a static data index array."""
+    src = """
+    data { real y; }
+    parameters { real a; real b; }
+    model {
+      vector[2] v = [a, b]';
+      array[3] int pick = {1, 3, 2};
+      vector[3] w = to_vector({y, a, b});
+      y ~ normal(dot_product(v, v) + w[pick[2]], 1);
+    }
+    """
+    m = compile_stan_program(src, {"y": 0.5}, name="lits")
+    a, b = 0.3, -0.2
+    want = stats.norm(a * a + b * b + b, 1).logpdf(0.5)
+    np.testing.assert_allclose(
+        float(m.logp(jnp.asarray([a, b], jnp.float32), 1.0)), want,
+        rtol=1e-5,
+    )
