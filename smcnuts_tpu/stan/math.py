@@ -913,6 +913,26 @@ def _to_matrix(v, m=None, n=None):
     return jnp.reshape(_as_arr(v), (int(n), int(m))).T
 
 
+def _gp_exp_quad_cov(*a):
+    """cov_exp_quad(x, alpha, rho) / cov_exp_quad(x1, x2, alpha, rho)
+    (and the 2.26+ gp_exp_quad_cov names): squared-exponential kernel
+    alpha^2 exp(-d^2 / (2 rho^2)); x entries may be reals (1-D array) or
+    vectors (rows of a 2-D array). One batched distance computation — the
+    MXU/VPU-friendly form, not Stan's elementwise loop."""
+    if len(a) == 3:
+        x1, x2, (alpha, rho) = a[0], a[0], a[1:]
+    else:
+        x1, x2, (alpha, rho) = a[0], a[1], a[2:]
+    xa, xb = _as_arr(x1), _as_arr(x2)
+    alpha = _as_arr(alpha)
+    rho = _as_arr(rho)
+    if xa.ndim == 1:
+        d2 = (xa[:, None] - xb[None, :]) ** 2
+    else:
+        d2 = jnp.sum((xa[:, None, :] - xb[None, :, :]) ** 2, axis=-1)
+    return alpha * alpha * jnp.exp(-0.5 * d2 / (rho * rho))
+
+
 def _log_mix(*a):
     if len(a) == 2:  # log_mix(simplex theta, vector lp)
         theta, lps = _as_arr(a[0]), _as_arr(a[1])
@@ -1001,6 +1021,13 @@ FUNCTIONS = {
     ),
     "rows_dot_product": lambda a, b: jnp.sum(
         _as_arr(a) * _as_arr(b), axis=1
+    ),
+    "cov_exp_quad": _gp_exp_quad_cov,
+    "gp_exp_quad_cov": _gp_exp_quad_cov,
+    "add_diag": lambda m, v: _as_arr(m) + (
+        jnp.diag(_as_arr(v))
+        if jnp.ndim(v) == 1
+        else jnp.eye(jnp.shape(m)[0]) * _as_arr(v)
     ),
     "softmax": jax.nn.softmax,
     "log_softmax": jax.nn.log_softmax,

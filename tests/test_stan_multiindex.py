@@ -235,3 +235,83 @@ def test_array_and_row_vector_literals():
         float(m.logp(jnp.asarray([a, b], jnp.float32), 1.0)), want,
         rtol=1e-5,
     )
+
+
+def test_gp_cov_exp_quad():
+    """cov_exp_quad/add_diag against hand math, 1- and 2-input forms, and
+    the full GP-regression logp against scipy's MVN."""
+    gp = """
+    data { int<lower=1> N; array[N] real x; vector[N] y; }
+    parameters { real<lower=0> rho; real<lower=0> alpha;
+                 real<lower=0> sigma; }
+    model {
+      matrix[N, N] K = add_diag(cov_exp_quad(x, alpha, rho), square(sigma));
+      rho ~ inv_gamma(5, 5);
+      alpha ~ std_normal();
+      sigma ~ std_normal();
+      y ~ multi_normal_cholesky(rep_vector(0, N), cholesky_decompose(K));
+    }
+    """
+    N = 10
+    x = np.linspace(0, 1, N)
+    yg = np.sin(x * 5)
+    m = compile_stan_program(
+        gp, {"N": N, "x": x.tolist(), "y": yg.tolist()}, name="gp"
+    )
+    th = jnp.asarray([0.1, -0.2, -0.5], jnp.float32)
+    rho, alpha, sigma = np.exp([0.1, -0.2, -0.5])
+    K = alpha**2 * np.exp(
+        -0.5 * (x[:, None] - x[None, :]) ** 2 / rho**2
+    ) + np.eye(N) * sigma**2
+    want = (
+        stats.invgamma(5, scale=5).logpdf(rho)
+        + stats.norm().logpdf(alpha)
+        + stats.norm().logpdf(sigma)
+        + (0.1 - 0.2 - 0.5)  # exp-transform Jacobians
+        + stats.multivariate_normal(np.zeros(N), K).logpdf(yg)
+    )
+    np.testing.assert_allclose(float(m.logp(th, 1.0)), want, rtol=1e-4)
+    g = jax.grad(lambda t: m.logp(t, 1.0))(th)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    gp2 = (
+        "data { int<lower=1> N; array[N] real x; } parameters { real a; } "
+        "model { target += a + cov_exp_quad(x, x, 1.0, 0.5)[1, 2]; }"
+    )
+    m2 = compile_stan_program(gp2, {"N": 3, "x": [0.0, 0.3, 1.0]},
+                              name="gp2")
+    np.testing.assert_allclose(
+        float(m2.logp(jnp.asarray([0.2], jnp.float32), 1.0)),
+        0.2 + np.exp(-0.5 * 0.09 / 0.25), rtol=1e-5,
+    )
+
+
+def test_stochastic_volatility_compiles():
+    """The classic SV model (non-centered AR(1) log-volatility recurrence,
+    half-Cauchy T[0,] prior, exp link) — finite logp + gradient."""
+    sv = """
+    data { int<lower=1> T; vector[T] y; }
+    parameters {
+      real mu; real<lower=-1, upper=1> phi_ar; real<lower=0> sigma;
+      vector[T] h_std;
+    }
+    transformed parameters {
+      vector[T] h;
+      h[1] = mu + sigma * h_std[1] / sqrt(1 - phi_ar * phi_ar);
+      for (t in 2:T) { h[t] = mu + phi_ar * (h[t-1] - mu) + sigma * h_std[t]; }
+    }
+    model {
+      mu ~ normal(0, 5);
+      sigma ~ cauchy(0, 2) T[0,];
+      h_std ~ std_normal();
+      y ~ normal(0, exp(h / 2));
+    }
+    """
+    T = 60
+    y = (np.random.default_rng(2).normal(size=T) * 0.5).tolist()
+    m = compile_stan_program(sv, {"T": T, "y": y}, name="sv")
+    th = jnp.zeros((m.dim,), jnp.float32)
+    assert m.dim == T + 3
+    assert np.isfinite(float(m.logp(th, 1.0)))
+    g = jax.grad(lambda t: m.logp(t, 1.0))(th)
+    assert np.all(np.isfinite(np.asarray(g)))
