@@ -629,6 +629,32 @@ class _Interp:
 
     def _call(self, node: Call):
         name = node.name
+        if name in ("reduce_sum", "reduce_sum_static"):
+            # Stan's within-chain parallel map-reduce. Parallelism here
+            # comes from vmap over particles, so the partial-sum function
+            # is simply applied to the WHOLE slice (start=1, end=N) — the
+            # exact value reduce_sum contracts to produce regardless of
+            # grainsize (which is only a scheduling hint and is ignored).
+            fns = self.env.get("__functions__") or {}
+            if (
+                not node.args
+                or not isinstance(node.args[0], Var)
+                or node.args[0].name not in fns
+            ):
+                raise StanCompileError(
+                    "reduce_sum requires a user-defined partial-sum "
+                    "function name as its first argument"
+                )
+            if len(node.args) < 3:
+                raise StanCompileError(
+                    "reduce_sum(f, y, grainsize, ...) takes at least 3 "
+                    "arguments"
+                )
+            fd = fns[node.args[0].name]
+            y = _as_value(self.ev(node.args[1]))
+            extra = [_as_value(self.ev(a)) for a in node.args[3:]]
+            n = int(np.shape(y)[0]) if np.shape(y) else 1
+            return self._call_user_fn(fd, [y, 1, n] + extra)
         raw = [self.ev(a) for a in node.args]
         if name == "__stack__":  # {a, b, c} / [a, b, c] literals
             vals = [_as_value(v) for v in raw]

@@ -315,3 +315,57 @@ def test_stochastic_volatility_compiles():
     assert np.isfinite(float(m.logp(th, 1.0)))
     g = jax.grad(lambda t: m.logp(t, 1.0))(th)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_reduce_sum_serial_contract():
+    """reduce_sum applies the partial-sum function to the whole slice
+    (start=1, end=N) — the value it contracts to for any grainsize; the
+    grainsize scheduling hint is ignored (particle vmap is our
+    parallelism)."""
+    rs = """
+    functions {
+      real partial_sum(array[] real y_slice, int start, int end, real mu) {
+        return normal_lpdf(y_slice | mu, 1) + 0.0 * (end - start);
+      }
+    }
+    data { int<lower=1> N; array[N] real y; }
+    parameters { real mu; }
+    model { target += reduce_sum(partial_sum, y, 1, mu); }
+    """
+    m = compile_stan_program(rs, {"N": 4, "y": [0.1, 0.2, 0.3, 0.4]},
+                             name="rs")
+    want = stats.norm(0.2, 1).logpdf([0.1, 0.2, 0.3, 0.4]).sum()
+    np.testing.assert_allclose(
+        float(m.logp(jnp.asarray([0.2], jnp.float32), 1.0)), want,
+        rtol=1e-5,
+    )
+    with pytest.raises(StanCompileError, match="partial-sum"):
+        compile_stan_program(
+            "data { real y; } parameters { real m; } "
+            "model { target += reduce_sum(nope, y, 1, m); }",
+            {"y": 0.1}, name="rsbad",
+        )
+
+
+def test_transformed_data_and_manual_matrix_fill():
+    src = """
+    data { int<lower=1> N; array[N] real x; vector[N] y; }
+    transformed data { real my = mean(y); }
+    parameters { real<lower=0> rho; }
+    model {
+      matrix[N, N] K;
+      for (i in 1:N) {
+        for (j in 1:N) { K[i, j] = exp(-square(x[i] - x[j]) / rho); }
+      }
+      target += K[1, 2] + my + (N % 2);
+    }
+    """
+    m = compile_stan_program(
+        src, {"N": 3, "x": [0.0, 0.5, 1.0], "y": [1.0, 2.0, 3.0]},
+        name="tdm",
+    )
+    want = np.exp(-0.25 / 1.0) + 2.0 + 1.0
+    np.testing.assert_allclose(
+        float(m.logp(jnp.asarray([0.0], jnp.float32), 1.0)), want,
+        rtol=1e-5,
+    )
