@@ -1024,6 +1024,36 @@ FUNCTIONS = {
     ),
     "cov_exp_quad": _gp_exp_quad_cov,
     "gp_exp_quad_cov": _gp_exp_quad_cov,
+    # multiply_log/lmultiply: x * log(y) with the 0 * log(0) = 0 convention
+    "multiply_log": lambda x, y: jnp.where(
+        (_as_arr(x) == 0.0) & (_as_arr(y) == 0.0), 0.0,
+        _as_arr(x) * jnp.log(_as_arr(y)),
+    ),
+    "lmultiply": lambda x, y: jnp.where(
+        (_as_arr(x) == 0.0) & (_as_arr(y) == 0.0), 0.0,
+        _as_arr(x) * jnp.log(_as_arr(y)),
+    ),
+    "lchoose": lambda n, k: jax.lax.lgamma(_as_arr(n) + 1.0)
+    - jax.lax.lgamma(_as_arr(k) + 1.0)
+    - jax.lax.lgamma(_as_arr(n) - _as_arr(k) + 1.0),
+    "choose": lambda n, k: jnp.round(
+        jnp.exp(
+            jax.lax.lgamma(_as_arr(n) + 1.0)
+            - jax.lax.lgamma(_as_arr(k) + 1.0)
+            - jax.lax.lgamma(_as_arr(n) - _as_arr(k) + 1.0)
+        )
+    ),
+    "step": lambda x: jnp.where(_as_arr(x) >= 0.0, 1.0, 0.0),
+    "int_step": lambda x: jnp.where(_as_arr(x) > 0.0, 1.0, 0.0),
+    "fdim": lambda x, y: jnp.maximum(_as_arr(x) - _as_arr(y), 0.0),
+    "hypot": jnp.hypot,
+    "sort_asc": lambda v: jnp.sort(_as_arr(v)),
+    "sort_desc": lambda v: jnp.sort(_as_arr(v))[::-1],
+    "sort_indices_asc": lambda v: jnp.argsort(_as_arr(v)) + 1,
+    "sort_indices_desc": lambda v: jnp.argsort(-_as_arr(v)) + 1,
+    "rank": lambda v, i: jnp.sum(
+        _as_arr(v) < _as_arr(v)[int(i) - 1]
+    ),
     "add_diag": lambda m, v: _as_arr(m) + (
         jnp.diag(_as_arr(v))
         if jnp.ndim(v) == 1

@@ -369,3 +369,32 @@ def test_transformed_data_and_manual_matrix_fill():
         float(m.logp(jnp.asarray([0.0], jnp.float32), 1.0)), want,
         rtol=1e-5,
     )
+
+
+def test_small_builtin_batch():
+    """multiply_log/lmultiply (0*log0 = 0), lchoose/choose, step/int_step,
+    fdim, hypot, sorts and rank."""
+    src = """
+    data { vector[4] v; }
+    parameters { real a; }
+    model {
+      target += multiply_log(0, 0) + lmultiply(2, a)
+              + lchoose(5, 2) + choose(5, 2)
+              + step(a - 10) + int_step(a) + fdim(a, 0.1) + hypot(3, 4)
+              + sort_asc(v)[1] + sort_desc(v)[1]
+              + sort_indices_asc(v)[1] + rank(v, 2);
+    }
+    """
+    v = [3.0, 1.0, 4.0, 1.5]
+    m = compile_stan_program(src, {"v": v}, name="small")
+    a = 0.5
+    want = (
+        0.0 + 2 * np.log(a) + np.log(10.0) + 10.0
+        + 0.0 + 1.0 + (a - 0.1) + 5.0
+        + 1.0 + 4.0     # sorted min / max
+        + 2.0           # argmin position (1-based): v[2]=1.0
+        + 0.0           # rank of v[2]=1.0: no element smaller
+    )
+    np.testing.assert_allclose(
+        float(m.logp(jnp.asarray([a], jnp.float32), 1.0)), want, rtol=1e-5
+    )
