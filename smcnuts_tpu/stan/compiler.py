@@ -627,8 +627,135 @@ class _Interp:
             out.set([i + 1], FUNCTIONS[name](_as_value(self._elem(v, i))))
         return out
 
+    _ODE_SOLVERS = frozenset({
+        "ode_rk45", "ode_rk45_tol", "ode_bdf", "ode_bdf_tol",
+        "ode_adams", "ode_adams_tol", "ode_ckrk", "ode_ckrk_tol",
+        "integrate_ode_rk45", "integrate_ode_bdf", "integrate_ode_adams",
+        "integrate_ode", "ode_rk4",
+    })
+
+    def _ode_solve(self, node: Call):
+        """Stan's ODE interfaces -> jax.experimental.ode.odeint (dopri5
+        with adjoint gradients; all variants share it — solver choice is a
+        tolerance/stiffness hint, and dopri5's continuous adjoint handles
+        the non-stiff models these interfaces see in practice).
+
+        New interface: ode_X(f, y0, t0, ts, ...args), f(t, y, ...args);
+        _tol adds (rel_tol, abs_tol, max_num_steps) before ...args.
+        Old interface: integrate_ode_X(f, y0, t0, ts, theta, x_r, x_i
+        [, rel_tol, abs_tol, max_steps]), f(t, y, theta, x_r, x_i).
+        Returns the (len(ts), D) solution array (row i = state at ts[i]).
+        """
+        from jax.experimental.ode import odeint
+
+        name = node.name
+        fns = self.env.get("__functions__") or {}
+        if (
+            not node.args
+            or not isinstance(node.args[0], Var)
+            or node.args[0].name not in fns
+        ):
+            raise StanCompileError(
+                f"{name} requires a user-defined ODE right-hand-side "
+                "function name as its first argument"
+            )
+        fd = fns[node.args[0].name]
+        rest = [self.ev(a) for a in node.args[1:]]
+        if len(rest) < 3:
+            raise StanCompileError(
+                f"{name}(f, y0, t0, ts, ...) takes at least 4 arguments"
+            )
+        y0 = jnp.asarray(_as_value(rest[0]), dtype=float)
+        t0 = _as_value(rest[1])
+        ts = jnp.asarray(_as_value(rest[2]), dtype=float)
+        rtol = atol = 1e-6  # Stan's rk45 defaults
+        mxstep = 1_000_000
+        if name.endswith("_tol"):
+            if len(rest) < 6:
+                raise StanCompileError(
+                    f"{name} needs rel_tol, abs_tol, max_num_steps after ts"
+                )
+            rtol = float(_as_value(rest[3]))
+            atol = float(_as_value(rest[4]))
+            mxstep = int(_as_value(rest[5]))
+            extra = rest[6:]
+        elif name.startswith("integrate_ode") and len(rest) >= 8:
+            extra = rest[3:6]
+            rtol = float(_as_value(rest[6]))
+            atol = float(_as_value(rest[7]))
+            if len(rest) >= 9:
+                mxstep = int(_as_value(rest[8]))
+        elif name == "ode_rk4":
+            if len(rest) < 4:
+                raise StanCompileError(
+                    "ode_rk4(f, y0, t0, ts, steps_per_interval, ...) "
+                    "takes at least 5 arguments"
+                )
+            mxstep = _require_int(
+                _as_value(rest[3]), "ode_rk4 steps_per_interval"
+            )
+            extra = rest[4:]
+        else:
+            extra = rest[3:]
+        extra_vals = [_as_value(v) for v in extra]
+
+        def rhs(y, t):
+            # Stan RHS signature is f(t, y, ...). The RHS must be pure
+            # (Stan forbids _lp functions here); restoring `target` both
+            # enforces that and keeps odeint's inner trace from leaking a
+            # tracer into the caller's target accumulator.
+            saved_target = self.target
+            try:
+                out = self._call_user_fn(fd, [t, y] + list(extra_vals))
+            finally:
+                self.target = saved_target
+            return jnp.asarray(_as_value(out), dtype=float).reshape(
+                jnp.shape(y)
+            )
+
+        times = jnp.concatenate(
+            [jnp.reshape(jnp.asarray(t0, dtype=float), (1,)), ts]
+        )
+        if name == "ode_rk4":
+            # TPU-first EXTENSION (not in Stan): fixed-step classical RK4,
+            # `mxstep` steps per output interval. Lowers to a plain
+            # lax.scan — no data-dependent while loops, so it compiles in
+            # seconds inside the vmapped NUTS tree and runs in lockstep
+            # across particles, where the adaptive solvers' nested while
+            # loops cost minutes of XLA compile and worst-case-particle
+            # stepping. Accuracy is O(h^4); pick steps_per_interval for
+            # the dynamics' stiffness.
+            def interval(y, t_pair):
+                ta, tb = t_pair
+                h = (tb - ta) / mxstep
+
+                def rk4_step(carry, i):
+                    yy, tt = carry
+                    k1 = rhs(yy, tt)
+                    k2 = rhs(yy + 0.5 * h * k1, tt + 0.5 * h)
+                    k3 = rhs(yy + 0.5 * h * k2, tt + 0.5 * h)
+                    k4 = rhs(yy + h * k3, tt + h)
+                    return (
+                        yy + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4),
+                        tt + h,
+                    ), None
+
+                (y_new, _), _ = jax.lax.scan(
+                    rk4_step, (y, ta), None, length=mxstep
+                )
+                return y_new, y_new
+
+            _, sol = jax.lax.scan(
+                interval, y0, (times[:-1], times[1:])
+            )
+            return sol
+        sol = odeint(rhs, y0, times, rtol=rtol, atol=atol, mxstep=mxstep)
+        return sol[1:]
+
     def _call(self, node: Call):
         name = node.name
+        if name in self._ODE_SOLVERS:
+            return self._ode_solve(node)
         if name in ("reduce_sum", "reduce_sum_static"):
             # Stan's within-chain parallel map-reduce. Parallelism here
             # comes from vmap over particles, so the partial-sum function
