@@ -756,6 +756,42 @@ class _Interp:
         name = node.name
         if name in self._ODE_SOLVERS:
             return self._ode_solve(node)
+        if name == "map_rect":
+            # Stan's multi-process map: f(phi, theta_j, x_r_j, x_i_j) per
+            # job, outputs concatenated. Parallelism here comes from the
+            # particle vmap, so jobs run serially in the trace — XLA fuses
+            # them, and the value matches any scheduling by construction.
+            fns = self.env.get("__functions__") or {}
+            if (
+                not node.args
+                or not isinstance(node.args[0], Var)
+                or node.args[0].name not in fns
+            ):
+                raise StanCompileError(
+                    "map_rect requires a user-defined job function name as "
+                    "its first argument"
+                )
+            if len(node.args) != 5:
+                raise StanCompileError(
+                    "map_rect(f, phi, theta, x_r, x_i) takes 5 arguments"
+                )
+            fd = fns[node.args[0].name]
+            phi_v = _as_value(self.ev(node.args[1]))
+            theta = _as_value(self.ev(node.args[2]))
+            x_r = np.asarray(_as_value(self.ev(node.args[3])), dtype=float)
+            x_i = np.asarray(_as_value(self.ev(node.args[4])))
+            n_jobs = int(np.shape(theta)[0])
+            outs = []
+            for j in range(n_jobs):
+                out = self._call_user_fn(
+                    fd, [phi_v, theta[j], x_r[j], x_i[j]]
+                )
+                outs.append(
+                    jnp.atleast_1d(
+                        jnp.asarray(_as_value(out), dtype=float)
+                    )
+                )
+            return jnp.concatenate(outs)
         if name in ("reduce_sum", "reduce_sum_static"):
             # Stan's within-chain parallel map-reduce. Parallelism here
             # comes from vmap over particles, so the partial-sum function

@@ -338,6 +338,7 @@ class _Parser:
             self.expect("(")
             params = []
             while self.cur.text != ")":
+                self.accept("data")  # data-only qualifier: no-op here
                 is_array = False
                 if self.accept("array"):
                     self.expect("[")

@@ -398,3 +398,39 @@ def test_small_builtin_batch():
     np.testing.assert_allclose(
         float(m.logp(jnp.asarray([a], jnp.float32), 1.0)), want, rtol=1e-5
     )
+
+
+def test_map_rect_serial_contract():
+    """map_rect jobs run serially in the trace (particle vmap is the
+    parallelism); outputs concatenate in job order; the `data` parameter
+    qualifier parses."""
+    src = """
+    functions {
+      vector shard_ll(vector phi, vector theta, data array[] real x_r,
+                      data array[] int x_i) {
+        return [normal_lpdf(to_vector(x_r) | phi[1] + theta[1], 1)]';
+      }
+    }
+    data { int<lower=1> J; int<lower=1> M; array[J, M] real y_sh;
+           array[J, 1] int dummy; }
+    parameters { real mu; array[J] vector[1] offs; }
+    model {
+      vector[J] lls = map_rect(shard_ll, [mu]', offs, y_sh, dummy);
+      target += sum(lls);
+    }
+    """
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(3, 4))
+    m = compile_stan_program(
+        src,
+        {"J": 3, "M": 4, "y_sh": y.tolist(), "dummy": [[0], [0], [0]]},
+        name="mr",
+    )
+    th = jnp.asarray([0.2, 0.1, -0.1, 0.3], jnp.float32)
+    want = sum(
+        stats.norm(0.2 + o, 1).logpdf(y[j]).sum()
+        for j, o in enumerate([0.1, -0.1, 0.3])
+    )
+    np.testing.assert_allclose(float(m.logp(th, 1.0)), want, rtol=1e-4)
+    g = jax.grad(lambda t: m.logp(t, 1.0))(th)
+    assert np.all(np.isfinite(np.asarray(g)))
