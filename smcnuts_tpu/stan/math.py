@@ -913,6 +913,27 @@ def _to_matrix(v, m=None, n=None):
     return jnp.reshape(_as_arr(v), (int(n), int(m))).T
 
 
+def _hmm_marginal(log_omegas, gamma, rho):
+    """Stan's hmm_marginal: log marginal likelihood of an HMM by the
+    forward algorithm in log space. log_omegas is (K states, N obs)
+    per-state observation log-likelihoods, Gamma the (K, K) transition
+    matrix (row i = distribution from state i), rho the initial state
+    distribution. One lax.scan over observations — jit/vmap-friendly."""
+    lo = _as_arr(log_omegas)
+    lg = jnp.log(_as_arr(gamma))
+    l0 = jnp.log(_as_arr(rho)) + lo[:, 0]
+
+    def step(lalpha, lo_t):
+        return (
+            jax.scipy.special.logsumexp(lalpha[:, None] + lg, axis=0)
+            + lo_t,
+            None,
+        )
+
+    l_last, _ = jax.lax.scan(step, l0, lo.T[1:])
+    return jax.scipy.special.logsumexp(l_last)
+
+
 def _gp_exp_quad_cov(*a):
     """cov_exp_quad(x, alpha, rho) / cov_exp_quad(x1, x2, alpha, rho)
     (and the 2.26+ gp_exp_quad_cov names): squared-exponential kernel
@@ -1024,6 +1045,7 @@ FUNCTIONS = {
     ),
     "cov_exp_quad": _gp_exp_quad_cov,
     "gp_exp_quad_cov": _gp_exp_quad_cov,
+    "hmm_marginal": _hmm_marginal,
     # multiply_log/lmultiply: x * log(y) with the 0 * log(0) = 0 convention
     "multiply_log": lambda x, y: jnp.where(
         (_as_arr(x) == 0.0) & (_as_arr(y) == 0.0), 0.0,

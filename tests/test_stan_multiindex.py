@@ -434,3 +434,38 @@ def test_map_rect_serial_contract():
     np.testing.assert_allclose(float(m.logp(th, 1.0)), want, rtol=1e-4)
     g = jax.grad(lambda t: m.logp(t, 1.0))(th)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_hmm_marginal_matches_enumeration():
+    """Forward-algorithm hmm_marginal vs brute-force path enumeration,
+    reachable from a .stan program with simplex-constrained rows."""
+    import itertools
+
+    rng = np.random.default_rng(0)
+    K, T = 3, 5
+    lo = rng.normal(size=(K, T))
+    G = rng.dirichlet(np.ones(K), size=K)
+    rho = rng.dirichlet(np.ones(K))
+    total = -np.inf
+    for path in itertools.product(range(K), repeat=T):
+        lp = np.log(rho[path[0]]) + lo[path[0], 0]
+        for t in range(1, T):
+            lp += np.log(G[path[t - 1], path[t]]) + lo[path[t], t]
+        total = np.logaddexp(total, lp)
+
+    src = """
+    data { int<lower=1> K; int<lower=1> T; matrix[K, T] log_omegas;
+           matrix[K, K] Gamma; vector[K] rho; }
+    parameters { real m; }
+    model { target += m + hmm_marginal(log_omegas, Gamma, rho); }
+    """
+    m = compile_stan_program(
+        src,
+        {"K": K, "T": T, "log_omegas": lo.tolist(), "Gamma": G.tolist(),
+         "rho": rho.tolist()},
+        name="hmm",
+    )
+    np.testing.assert_allclose(
+        float(m.logp(jnp.asarray([0.25], jnp.float32), 1.0)),
+        0.25 + total, rtol=1e-4,
+    )
