@@ -462,7 +462,16 @@ class _Interp:
         out = base
         ax = 0
         for i in idxs:
-            iv = np.asarray(i) if isinstance(i, (list, np.ndarray)) else i
+            if isinstance(i, (list, np.ndarray)):
+                iv = np.asarray(i)
+            elif isinstance(i, jax.Array) and not isinstance(
+                i, jax.core.Tracer
+            ):
+                # concrete jnp-computed indices (e.g. sort_indices_asc on
+                # transformed data) gather like data arrays
+                iv = np.asarray(i)
+            else:
+                iv = i
             if isinstance(iv, np.ndarray) and iv.ndim == 1 and iv.size and (
                 np.issubdtype(iv.dtype, np.integer)
                 or np.all(iv == iv.astype(np.int64))
@@ -615,6 +624,41 @@ class _Interp:
         total = None
         for i in range(n):
             term = density(*[_as_value(self._elem(v, i)) for v in raw])
+            total = term if total is None else total + term
+        return total
+
+    def _truncated_scalarized(self, dist, raw, lo, hi):
+        """Per-element truncated sampling terms for scalarize (tile) mode:
+        each element gets its own scalar truncated_lp call, summed in
+        Python — no container broadcast/stack inside the kernel body.
+        Returns None when args are not uniformly scalarizable (the
+        broadcast truncated_lp path then handles it)."""
+        vals = list(raw) + [v for v in (lo, hi) if v is not None]
+        lens = [self._seq_len1(v) for v in vals]
+        if any(l is None for l in lens):
+            return None
+        vec = [l for l in lens if l > 0]
+        if not vec:
+            return None
+        n = vec[0]
+        if any(l != n for l in vec):
+            return None
+
+        def elem(v, ln, i):
+            return _as_value(self._elem(v, i)) if ln else _as_value(v)
+
+        nraw = len(raw)
+        total = None
+        for i in range(n):
+            args_i = [elem(v, lens[j], i) for j, v in enumerate(raw)]
+            k = nraw
+            lo_i = hi_i = None
+            if lo is not None:
+                lo_i = elem(lo, lens[k], i)
+                k += 1
+            if hi is not None:
+                hi_i = elem(hi, lens[k], i)
+            term = truncated_lp(dist, args_i, lo_i, hi_i)
             total = term if total is None else total + term
         return total
 
@@ -986,9 +1030,16 @@ class _Interp:
                     if s.t_upper is not None else None
                 )
                 try:
-                    inc = truncated_lp(
-                        dist, [_as_value(v) for v in raw], lo, hi
-                    )
+                    inc = None
+                    if self.scalarize:
+                        # tile bodies: per-element scalar truncation terms
+                        # (the broadcast-and-stack form below lowers poorly
+                        # in Pallas kernels)
+                        inc = self._truncated_scalarized(dist, raw, lo, hi)
+                    if inc is None:
+                        inc = truncated_lp(
+                            dist, [_as_value(v) for v in raw], lo, hi
+                        )
                 except ValueError as e:
                     raise StanCompileError(f"line {s.line}: {e}") from None
                 self.target = self.target + inc

@@ -369,37 +369,45 @@ def _lognormal_lccdf(y, mu, sigma):
 
 
 def _poisson_lcdf(y, lam):
-    # P(Y <= y) = Q(floor(y) + 1, lam), the regularized upper gamma
-    return jnp.log(jax.scipy.special.gammaincc(jnp.floor(y) + 1.0, lam))
+    # P(Y <= y) = Q(floor(y) + 1, lam), the regularized upper gamma.
+    # y < 0 would hand gammaincc a non-positive shape (nan); select -inf.
+    yc = jnp.maximum(y, 0.0)
+    v = jnp.log(jax.scipy.special.gammaincc(jnp.floor(yc) + 1.0, lam))
+    return jnp.where(y < 0.0, -jnp.inf, v)
 
 
 def _poisson_lccdf(y, lam):
-    return jnp.log(jax.scipy.special.gammainc(jnp.floor(y) + 1.0, lam))
+    yc = jnp.maximum(y, 0.0)
+    v = jnp.log(jax.scipy.special.gammainc(jnp.floor(yc) + 1.0, lam))
+    return jnp.where(y < 0.0, 0.0, v)
 
 
 def _binomial_lcdf(y, n, p):
-    # P(Y <= y) = I_{1-p}(n - y, y + 1); y == n clamps to 0 (cdf = 1)
-    a = jnp.maximum(n - y, 1.0)
-    v = jax.scipy.special.betainc(a, y + 1.0, 1.0 - p)
-    return jnp.where(y >= n, 0.0, jnp.log(v))
+    # P(Y <= y) = I_{1-p}(n - y, y + 1); y == n clamps to 0 (cdf = 1),
+    # y < 0 selects -inf (betainc's shape args must stay positive).
+    yc = jnp.clip(y, 0.0, n)
+    a = jnp.maximum(n - yc, 1.0)
+    v = jax.scipy.special.betainc(a, yc + 1.0, 1.0 - p)
+    return jnp.where(y < 0.0, -jnp.inf, jnp.where(y >= n, 0.0, jnp.log(v)))
 
 
 def _binomial_lccdf(y, n, p):
-    b = jnp.maximum(n - y, 1.0)
-    v = jax.scipy.special.betainc(y + 1.0, b, p)
-    return jnp.where(y >= n, -jnp.inf, jnp.log(v))
+    yc = jnp.clip(y, 0.0, n)
+    b = jnp.maximum(n - yc, 1.0)
+    v = jax.scipy.special.betainc(yc + 1.0, b, p)
+    return jnp.where(y < 0.0, 0.0, jnp.where(y >= n, -jnp.inf, jnp.log(v)))
 
 
 def _nb2_lcdf(y, mu, phi):
-    return jnp.log(
-        jax.scipy.special.betainc(phi, y + 1.0, phi / (phi + mu))
-    )
+    yc = jnp.maximum(y, 0.0)
+    v = jnp.log(jax.scipy.special.betainc(phi, yc + 1.0, phi / (phi + mu)))
+    return jnp.where(y < 0.0, -jnp.inf, v)
 
 
 def _nb2_lccdf(y, mu, phi):
-    return jnp.log(
-        jax.scipy.special.betainc(y + 1.0, phi, mu / (phi + mu))
-    )
+    yc = jnp.maximum(y, 0.0)
+    v = jnp.log(jax.scipy.special.betainc(yc + 1.0, phi, mu / (phi + mu)))
+    return jnp.where(y < 0.0, 0.0, v)
 
 
 def _log1m_exp(x):
@@ -450,9 +458,11 @@ ELEMENTWISE_LCDFS = {
     "chi_square": _chi_square_lcdf,
     "poisson": _poisson_lcdf,
     "poisson_log": lambda y, eta: _poisson_lcdf(y, jnp.exp(eta)),
-    "bernoulli": lambda y, p: jnp.where(y >= 1.0, 0.0, jnp.log1p(-p)),
+    "bernoulli": lambda y, p: jnp.where(
+        y < 0.0, -jnp.inf, jnp.where(y >= 1.0, 0.0, jnp.log1p(-p))
+    ),
     "bernoulli_logit": lambda y, a: jnp.where(
-        y >= 1.0, 0.0, jax.nn.log_sigmoid(-a)
+        y < 0.0, -jnp.inf, jnp.where(y >= 1.0, 0.0, jax.nn.log_sigmoid(-a))
     ),
     "binomial": _binomial_lcdf,
     "neg_binomial_2": _nb2_lcdf,
@@ -487,10 +497,10 @@ ELEMENTWISE_LCCDFS = {
     "poisson": _poisson_lccdf,
     "poisson_log": lambda y, eta: _poisson_lccdf(y, jnp.exp(eta)),
     "bernoulli": lambda y, p: jnp.where(
-        y >= 1.0, -jnp.inf, jnp.log(p)
+        y < 0.0, 0.0, jnp.where(y >= 1.0, -jnp.inf, jnp.log(p))
     ),
     "bernoulli_logit": lambda y, a: jnp.where(
-        y >= 1.0, -jnp.inf, jax.nn.log_sigmoid(a)
+        y < 0.0, 0.0, jnp.where(y >= 1.0, -jnp.inf, jax.nn.log_sigmoid(a))
     ),
     "binomial": _binomial_lccdf,
     "neg_binomial_2": _nb2_lccdf,
@@ -913,6 +923,33 @@ def _to_matrix(v, m=None, n=None):
     return jnp.reshape(_as_arr(v), (int(n), int(m))).T
 
 
+def _flatten_colmajor(x):
+    """Stan's to_vector/to_row_vector flatten matrices COLUMN-major
+    (round-trips with _to_matrix's column-major fill)."""
+    a = _as_arr(x)
+    return jnp.ravel(a.T) if a.ndim == 2 else jnp.ravel(a)
+
+
+def _lchoose(n, k):
+    """log binomial coefficient; 0 outside 0 <= k <= n (Stan rejects
+    there — we take the lccdf-friendly -inf) and lgamma-safe inside."""
+    n2, k2 = _as_arr(n), _as_arr(k)
+    valid = (k2 >= 0.0) & (k2 <= n2)
+    ks = jnp.where(valid, k2, 0.0)
+    val = (
+        jax.lax.lgamma(n2 + 1.0)
+        - jax.lax.lgamma(ks + 1.0)
+        - jax.lax.lgamma(n2 - ks + 1.0)
+    )
+    return jnp.where(valid, val, -jnp.inf)
+
+
+def _choose(n, k):
+    n2, k2 = _as_arr(n), _as_arr(k)
+    valid = (k2 >= 0.0) & (k2 <= n2)
+    return jnp.where(valid, jnp.round(jnp.exp(_lchoose(n2, jnp.where(valid, k2, 0.0)))), 0.0)
+
+
 def _hmm_marginal(log_omegas, gamma, rho):
     """Stan's hmm_marginal: log marginal likelihood of an HMM by the
     forward algorithm in log space. log_omegas is (K states, N obs)
@@ -1036,7 +1073,7 @@ FUNCTIONS = {
     "append_col": _append_col,
     "rep_matrix": _rep_matrix,
     "to_matrix": _to_matrix,
-    "to_row_vector": lambda x: jnp.ravel(_as_arr(x)),
+    "to_row_vector": _flatten_colmajor,
     "columns_dot_product": lambda a, b: jnp.sum(
         _as_arr(a) * _as_arr(b), axis=0
     ),
@@ -1055,16 +1092,8 @@ FUNCTIONS = {
         (_as_arr(x) == 0.0) & (_as_arr(y) == 0.0), 0.0,
         _as_arr(x) * jnp.log(_as_arr(y)),
     ),
-    "lchoose": lambda n, k: jax.lax.lgamma(_as_arr(n) + 1.0)
-    - jax.lax.lgamma(_as_arr(k) + 1.0)
-    - jax.lax.lgamma(_as_arr(n) - _as_arr(k) + 1.0),
-    "choose": lambda n, k: jnp.round(
-        jnp.exp(
-            jax.lax.lgamma(_as_arr(n) + 1.0)
-            - jax.lax.lgamma(_as_arr(k) + 1.0)
-            - jax.lax.lgamma(_as_arr(n) - _as_arr(k) + 1.0)
-        )
-    ),
+    "lchoose": _lchoose,
+    "choose": _choose,
     "step": lambda x: jnp.where(_as_arr(x) >= 0.0, 1.0, 0.0),
     "int_step": lambda x: jnp.where(_as_arr(x) > 0.0, 1.0, 0.0),
     "fdim": lambda x, y: jnp.maximum(_as_arr(x) - _as_arr(y), 0.0),
@@ -1103,7 +1132,7 @@ FUNCTIONS = {
     "rep_vector": lambda v, n: jnp.full((n,), v, dtype=float),
     "rep_row_vector": lambda v, n: jnp.full((n,), v, dtype=float),
     "rep_array": lambda v, n: jnp.full((n,), v),
-    "to_vector": lambda x: jnp.ravel(_as_arr(x)),
+    "to_vector": _flatten_colmajor,
     "to_array_1d": lambda x: jnp.ravel(_as_arr(x)),
     # matrix algebra (pairs with the corr_matrix/cov_matrix parameter types)
     "trace": lambda m: jnp.trace(_as_arr(m)),
