@@ -68,6 +68,17 @@ class SMCConfig:
     # batches the guard's lax.cond lowers to a both-branches select. 0.0
     # disables (round-2 behavior).
     cached_loglik_min_phi: float = 1e-2
+    # Pallas backend only: fuse the SMC iteration epilogue into the NUTS
+    # kernel (ops/nuts_pallas.nuts_batch_pallas_fused) — the momentum draw
+    # runs in-kernel on the TPU PRNG, the asymptotic accept-reject runs in
+    # the kernel epilogue, and the forwards-L-kernel weight increment comes
+    # back as the selected-leaf Hamiltonian difference. Cuts the host-side
+    # XLA epilogue (~30% of a shallow-tree arma iteration, VERDICT r3 #1).
+    # Automatically disabled when a non-standard momentum proposal is passed
+    # (the kernel draws N(0, diag(1/inv_mass)) only). The XLA backend and
+    # the unfused kernel remain available as the correctness oracle;
+    # cross-checks are statistical (different RNG stream).
+    fused_epilogue: bool = True
 
     def __post_init__(self):
         if self.n_particles < 1:

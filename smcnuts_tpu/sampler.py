@@ -50,11 +50,28 @@ from .ops.adaptation import (
 from .ops.lkernels import forward_lkernel_logpdf, gaussian_lkernel_logpdf
 from .ops.moments import estimate as constrained_estimate
 from .ops.nuts import hmc_accept_reject_cached, nuts_batch
-from .ops.resampling import multinomial_ancestors, resample_if_required
+from .ops.resampling import multinomial_take_rows, resample_if_required
 from .ops.tempering import next_temperature
+from .models.base import LOG_SQRT_2PI as _LOG_SQRT_2PI
 from .ops.weights import ess as compute_ess
 from .ops.weights import normalise_weights
 from .proposals import DiagNormalProposal
+
+
+def _is_standard_momentum(momentum_proposal) -> bool:
+    """True iff the momentum proposal is the standard N(0, I) default — the
+    distribution the fused Pallas kernel's in-kernel draw implements when
+    inv_mass is ones. Checked structurally (trace-time) so a user-supplied
+    custom proposal silently falls back to the unfused path."""
+    if not isinstance(momentum_proposal, DiagNormalProposal):
+        return False
+    mean_ok = momentum_proposal.mean is None or not np.any(
+        np.asarray(momentum_proposal.mean)
+    )
+    var_ok = momentum_proposal.var is None or np.allclose(
+        np.asarray(momentum_proposal.var), 1.0
+    )
+    return bool(mean_ok and var_ok)
 
 
 class SMCCarry(NamedTuple):
@@ -144,9 +161,8 @@ def _recycled_estimate(model, rec_key, x, logw, loglik, phi_k):
     (1 - phi_k) * loglik. Shared by the saved-history post-pass and the
     in-scan streaming path so the two are key-for-key identical."""
     wn, _ = normalise_weights(logw)
-    ancestors = multinomial_ancestors(rec_key, wn)
-    x_r = jnp.take(x, ancestors, axis=0)
-    logw_corr = (1.0 - phi_k) * jnp.take(loglik, ancestors)
+    x_r, loglik_r = multinomial_take_rows(rec_key, wn, [x, loglik])
+    logw_corr = (1.0 - phi_k) * loglik_r
     wn_corr, _ = normalise_weights(logw_corr)
     return constrained_estimate(model, x_r, wn_corr)
 
@@ -188,14 +204,6 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         # 0.5 r^T M^{-1} r, and the weight-update momentum densities must use
         # the same distribution — otherwise the forward/L-kernel argument
         # breaks and the weights degenerate.
-        if cfg.adapt_mass_matrix:
-            r = mass_momentum_rvs(k_mom, n, carry.inv_mass, carry.x.dtype)
-            momentum_logpdf = lambda rr: mass_momentum_logpdf(
-                rr, carry.inv_mass
-            )
-        else:
-            r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
-            momentum_logpdf = momentum_proposal.logpdf
         backend = cfg.nuts_backend
         if backend == "auto":
             backend = (
@@ -204,13 +212,41 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 and jax.default_backend() == "tpu"
                 else "xla"
             )
+        # Fused kernel epilogue (pallas only): the kernel draws the momenta
+        # from N(0, diag(1/inv_mass)) with the in-kernel TPU PRNG, so it is
+        # only valid when that IS the momentum distribution — either
+        # mass-matrix adaptation is on (inv_mass is the live state) or the
+        # momentum proposal is the standard N(0, I) default (inv_mass stays
+        # ones). A custom momentum proposal disables the fusion.
+        fused = (
+            backend == "pallas"
+            and cfg.fused_epilogue
+            and (
+                cfg.adapt_mass_matrix
+                or _is_standard_momentum(momentum_proposal)
+            )
+        )
+        if not fused:
+            if cfg.adapt_mass_matrix:
+                r = mass_momentum_rvs(
+                    k_mom, n, carry.inv_mass, carry.x.dtype
+                )
+                momentum_logpdf = lambda rr: mass_momentum_logpdf(
+                    rr, carry.inv_mass
+                )
+            else:
+                r = momentum_proposal.rvs(k_mom, n, dtype=carry.x.dtype)
+                momentum_logpdf = momentum_proposal.logpdf
         if backend == "pallas":
             if model.tile_model is None:
                 raise ValueError(
                     f"model '{model.name}' has no tile_model; the pallas "
                     "NUTS backend is unavailable for it"
                 )
-            from .ops.nuts_pallas import nuts_batch_pallas
+            from .ops.nuts_pallas import (
+                nuts_batch_pallas,
+                nuts_batch_pallas_fused,
+            )
 
             seed = jax.random.randint(
                 k_nuts, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
@@ -219,11 +255,22 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             # the full pallas code path (incl. the shard_map wiring below) is
             # executable in CPU-sim tests and the driver's multi-chip dryrun.
             interpret = jax.default_backend() != "tpu"
-            base_kernel = lambda xx, rr, sd: nuts_batch_pallas(
-                model.tile_model, xx, rr, sd, carry.step_size, phi,
-                inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
-                interpret=interpret,
+            stats_keys = (
+                "logp0", "logp_prop", "accept_stat", "depth",
+                "leapfrogs", "delta_h", "ke0", "moved",
             )
+            if fused:
+                base_kernel = lambda xx, sd: nuts_batch_pallas_fused(
+                    model.tile_model, xx, sd, carry.step_size, phi,
+                    inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
+                    acc_rej=cfg.is_asymptotic, interpret=interpret,
+                )
+            else:
+                base_kernel = lambda xx, rr, sd: nuts_batch_pallas(
+                    model.tile_model, xx, rr, sd, carry.step_size, phi,
+                    inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
+                    interpret=interpret,
+                )
             kernel_call = base_kernel
             if mesh is not None:
                 # Particle-parallel: each device runs the whole-tree kernel
@@ -232,27 +279,49 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
 
                 from .parallel.sharding import PARTICLE_AXIS
 
-                def sharded_kernel(xx, rr, sd):
-                    sd = sd + jax.lax.axis_index(PARTICLE_AXIS) * jnp.int32(
-                        7919
-                    )
-                    return base_kernel(xx, rr, sd)
-
-                kernel_call = jax.shard_map(
-                    sharded_kernel,
-                    mesh=mesh.abstract_mesh,
-                    check_vma=False,  # pallas out_shapes carry no vma info
-                    in_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS, None), P()),
-                    out_specs=(
-                        P(PARTICLE_AXIS, None),
-                        P(PARTICLE_AXIS, None),
-                        {k: P(PARTICLE_AXIS) for k in (
-                            "logp0", "logp_prop", "accept_stat", "depth",
-                            "leapfrogs",
-                        )},
-                    ),
+                out_specs = (
+                    P(PARTICLE_AXIS, None),
+                    P(PARTICLE_AXIS, None),
+                    {k: P(PARTICLE_AXIS) for k in stats_keys},
                 )
-            x_new, r_new, tree_stats = kernel_call(x_r, r, seed)
+                if fused:
+
+                    def sharded_kernel(xx, sd):
+                        sd = sd + jax.lax.axis_index(
+                            PARTICLE_AXIS
+                        ) * jnp.int32(7919)
+                        return base_kernel(xx, sd)
+
+                    kernel_call = jax.shard_map(
+                        sharded_kernel,
+                        mesh=mesh.abstract_mesh,
+                        check_vma=False,  # pallas carries no vma info
+                        in_specs=(P(PARTICLE_AXIS, None), P()),
+                        out_specs=out_specs,
+                    )
+                else:
+
+                    def sharded_kernel(xx, rr, sd):
+                        sd = sd + jax.lax.axis_index(
+                            PARTICLE_AXIS
+                        ) * jnp.int32(7919)
+                        return base_kernel(xx, rr, sd)
+
+                    kernel_call = jax.shard_map(
+                        sharded_kernel,
+                        mesh=mesh.abstract_mesh,
+                        check_vma=False,  # pallas carries no vma info
+                        in_specs=(
+                            P(PARTICLE_AXIS, None),
+                            P(PARTICLE_AXIS, None),
+                            P(),
+                        ),
+                        out_specs=out_specs,
+                    )
+            if fused:
+                x_new, r_new, tree_stats = kernel_call(x_r, seed)
+            else:
+                x_new, r_new, tree_stats = kernel_call(x_r, r, seed)
         else:
             if model.loglik_vg is not None:
                 # Fused value+gradient kernel (custom_vmap dispatches the
@@ -280,10 +349,12 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             )
 
         logp_new_phi = tree_stats["logp_prop"]
-        if cfg.is_asymptotic:
+        if cfg.is_asymptotic and not fused:
             # Accept-reject epilogue makes the forward kernel pi_phi-invariant
             # (reference nuts_acc_rej.py:42-49). The tree already evaluated
-            # logp at both endpoints — reuse instead of recomputing.
+            # logp at both endpoints — reuse instead of recomputing. (In
+            # fused mode the kernel ran this in its epilogue: x_new/r_new/
+            # logp_prop are already the post-accept state.)
             x_new, r_new, accepted = hmc_accept_reject_cached(
                 tree_stats["logp0"], tree_stats["logp_prop"],
                 x_r, x_new, r, r_new, k_acc, inv_mass=carry.inv_mass,
@@ -333,13 +404,36 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
         else:
             # Non-tempered path evaluates the target at phi=1
             # (reference samples.py:183-196).
-            if cfg.lkernel == "forwardsLKernel":
-                lk = forward_lkernel_logpdf(momentum_logpdf, r_new)
+            if fused:
+                # The kernel's momentum draw never left the chip: the
+                # momentum-density difference L(-r'|x') - q(r) is recovered
+                # from the fused outputs. For the forwards L-kernel the
+                # N(0, M) constants cancel, leaving ke(r0) - ke(r') =
+                # delta_h - (logp' - logp0); the Gaussian L-kernel needs
+                # q(r0) itself = -ke0 - 0.5 log|M| - D/2 log 2pi.
+                if cfg.lkernel == "forwardsLKernel":
+                    lk_minus_q = tree_stats["delta_h"] - (
+                        tree_stats["logp_prop"] - tree_stats["logp0"]
+                    )
+                else:
+                    lk = gaussian_lkernel_logpdf(r_new, x_new)
+                    q_r = (
+                        -tree_stats["ke0"]
+                        + 0.5 * jnp.sum(jnp.log(carry.inv_mass))
+                        - model.dim * _LOG_SQRT_2PI
+                    )
+                    lk_minus_q = lk - q_r
             else:
-                lk = gaussian_lkernel_logpdf(r_new, x_new)
+                if cfg.lkernel == "forwardsLKernel":
+                    lk = forward_lkernel_logpdf(momentum_logpdf, r_new)
+                else:
+                    lk = gaussian_lkernel_logpdf(r_new, x_new)
+                lk_minus_q = lk - momentum_logpdf(r)
             if not cfg.tempering:
                 # phi is identically 1 here, so the tree's cached endpoint
                 # log-densities ARE the phi=1 values — two model evals saved.
+                # (Fused forwards L-kernel: logw increment collapses to
+                # exactly delta_h.)
                 logp_new_1 = tree_stats["logp_prop"]
                 logp_old_1 = tree_stats["logp0"]
             else:
@@ -353,12 +447,18 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 logw_r
                 + logp_new_1
                 - logp_old_1
-                + lk
-                - momentum_logpdf(r)
+                + lk_minus_q
             )
 
         # 9: acceptance metric (post-resample pre-proposal vs proposed).
-        acceptance = _acceptance_metric(x_new, x_r)
+        # The fused kernel computed the per-particle all-dims-changed flag
+        # in its epilogue; otherwise compare on host.
+        if backend == "pallas" and "moved" in tree_stats and not (
+            cfg.is_asymptotic and not fused
+        ):
+            acceptance = jnp.mean(tree_stats["moved"])
+        else:
+            acceptance = _acceptance_metric(x_new, x_r)
 
         # Adaptation (native feature; off by default for reference parity).
         step_size = carry.step_size
@@ -390,22 +490,28 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 x_new, wn_new, carry.inv_mass
             )
 
+        # All per-iteration diagnostics ride ONE packed vector scan output:
+        # each separate scan output costs its own dynamic-update-slice per
+        # iteration on device (11 tiny DUS ops measured ~tens of us/iter at
+        # the batched headline shape); packing collapses them into one.
+        # finalize() unpacks by _DIAG_FIELDS order.
+        scalars = jnp.stack([
+            jnp.asarray(phi, carry.x.dtype),
+            jnp.asarray(log_likelihood, carry.x.dtype),
+            jnp.asarray(ess_k, carry.x.dtype),
+            jnp.asarray(acceptance, carry.x.dtype),
+            did_resample.astype(carry.x.dtype),
+            jnp.asarray(step_size, carry.x.dtype),
+            jnp.mean(tree_stats["depth"].astype(carry.x.dtype)),
+            jnp.mean(tree_stats["leapfrogs"].astype(carry.x.dtype)),
+            jnp.mean(tree_stats["accept_stat"]).astype(carry.x.dtype),
+        ])
         out = {
-            "phi": phi,
-            "log_likelihood": log_likelihood,
-            "ess": ess_k,
-            "mean": mean_k,
-            "var": var_k,
-            "acceptance": acceptance,
-            "resampled": did_resample,
-            "step_size": step_size,
-            "tree_depth": jnp.mean(
-                tree_stats["depth"].astype(carry.x.dtype)
-            ),
-            "tree_leapfrogs": jnp.mean(
-                tree_stats["leapfrogs"].astype(carry.x.dtype)
-            ),
-            "accept_stat": jnp.mean(tree_stats["accept_stat"]),
+            "diag": jnp.concatenate([
+                scalars,
+                jnp.asarray(mean_k, carry.x.dtype),
+                jnp.asarray(var_k, carry.x.dtype),
+            ]),
         }
         if cfg.save_history:
             out["x_hist"] = x_new
@@ -512,6 +618,28 @@ def init_state(model: Model, cfg: SMCConfig, key, sample_proposal=None,
     return carry0, k_post
 
 
+_DIAG_FIELDS = (
+    "phi", "log_likelihood", "ess", "acceptance", "resampled",
+    "step_size", "tree_depth", "tree_leapfrogs", "accept_stat",
+)
+
+
+def _unpack_diag(outs, cd):
+    """Invert the packed per-iteration diagnostics vector (see the `out`
+    construction in _make_step) back into named series."""
+    if "diag" not in outs:
+        return outs
+    diag = outs["diag"]  # (K, len(_DIAG_FIELDS) + 2 * CD)
+    d = {k: v for k, v in outs.items() if k != "diag"}
+    for i, name in enumerate(_DIAG_FIELDS):
+        d[name] = diag[:, i]
+    n = len(_DIAG_FIELDS)
+    d["resampled"] = d["resampled"] > 0.5
+    d["mean"] = diag[:, n:n + cd]
+    d["var"] = diag[:, n + cd:n + 2 * cd]
+    return d
+
+
 def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
              k_post) -> SMCResult:
     """Assemble the SMCResult from the scan carry/outputs: final
@@ -521,6 +649,7 @@ def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
     wn_f, loglik_f = normalise_weights(carry.logw)
     mean_f, var_f = constrained_estimate(model, carry.x, wn_f)
     ess_f = compute_ess(wn_f)
+    outs = _unpack_diag(outs, int(mean_f.shape[0]))
 
     def cat(seq, last):
         return jnp.concatenate([seq, jnp.asarray(last)[None]], axis=0)
@@ -534,7 +663,9 @@ def finalize(model: Model, cfg: SMCConfig, carry: SMCCarry, outs, x0, logw0,
     resampled = cat(outs["resampled"], jnp.asarray(False))
     step_series = cat(outs["step_size"], carry.step_size)
     depth_series = cat(outs["tree_depth"], outs["tree_depth"][-1])
-    leapfrog_series = cat(outs["tree_leapfrogs"], outs["tree_leapfrogs"][-1])
+    leapfrog_series = cat(
+        outs["tree_leapfrogs"], outs["tree_leapfrogs"][-1]
+    )
     accept_stat_series = cat(outs["accept_stat"], outs["accept_stat"][-1])
 
     x_saved = logw_saved = None

@@ -281,7 +281,8 @@ def test_shard_map_multi_device(setup):
 
     stats_spec = {
         k: P("particles")
-        for k in ("logp0", "logp_prop", "accept_stat", "depth", "leapfrogs")
+        for k in ("logp0", "logp_prop", "accept_stat", "depth",
+                  "leapfrogs", "delta_h", "ke0", "moved")
     }
     f = jax.jit(
         jax.shard_map(
