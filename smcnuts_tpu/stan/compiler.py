@@ -69,12 +69,16 @@ from .math import (
     LCDFS,
     LOG_SQRT_2PI,
     RNG_FUNCTIONS,
+    RowVector,
+    is_row,
     truncated_lp,
 )
 from .parser import (
     Assign,
     Bin,
+    Break,
     Call,
+    Continue,
     Decl,
     ExprStmt,
     For,
@@ -194,8 +198,53 @@ def _stack_nested(node):
 
 
 def _as_value(v):
-    """Collapse a _LocalArray to a jnp array; pass scalars/arrays through."""
-    return v.as_array() if isinstance(v, _LocalArray) else v
+    """Collapse a _LocalArray to a jnp array and strip row orientation;
+    pass scalars/arrays through. The orientation-BLIND accessor: correct
+    wherever Stan semantics do not depend on row/column (distribution
+    arguments, reductions, elementwise math)."""
+    if isinstance(v, _LocalArray):
+        return v.as_array()
+    if isinstance(v, RowVector):
+        return v.data
+    return v
+
+
+def _as_value_oriented(v):
+    """Like _as_value but keeps the RowVector tag (and materializes a
+    row-declared _LocalArray as a RowVector) — for orientation-aware
+    builtins (transpose, append_row/col, head/tail/...)."""
+    if isinstance(v, _LocalArray):
+        arr = v.as_array()
+        return RowVector(arr) if getattr(v, "row", False) else arr
+    return v
+
+
+def _orient(v):
+    """(is_row, payload) of a value, materializing containers."""
+    if isinstance(v, RowVector):
+        return True, v.data
+    if isinstance(v, _LocalArray):
+        return bool(getattr(v, "row", False)), v.as_array()
+    return False, v
+
+
+# Builtins whose Stan signature/result depends on row/column orientation:
+# these receive orientation-tagged arguments (everything else gets the
+# orientation-blind _as_value form).
+_ORIENT_FNS = frozenset((
+    "transpose", "append_row", "append_col", "head", "tail", "segment",
+    "reverse", "sort_asc", "sort_desc", "cumulative_sum", "to_row_vector",
+    "to_vector",
+))
+
+# Declared types whose trailing axis is a ROW axis: a 1-D read that keeps
+# (only) the last axis of such a value is a Stan row_vector.
+_ROW_LAST_AXIS_TYPES = frozenset((
+    "matrix", "row_vector", "corr_matrix", "cov_matrix",
+    "cholesky_factor_corr", "cholesky_factor_cov",
+))
+
+_EMPTY: dict = {}
 
 
 def _require_int(v, what):
@@ -222,6 +271,15 @@ class _FnReturn(Exception):
 
     def __init__(self, value):
         self.value = value
+
+
+class _LoopBreak(Exception):
+    """Control-flow carrier for `break` (unrolled loops only: the
+    condition guarding it must be data-derived, same rule as `if`)."""
+
+
+class _LoopContinue(Exception):
+    """Control-flow carrier for `continue` (unrolled loops only)."""
 
 
 class _ScanLoweringError(Exception):
@@ -316,11 +374,12 @@ def _walk_writes(stmts, assigned, declared):
         elif isinstance(st, If):
             _walk_writes(st.then, assigned, declared)
             _walk_writes(st.other, assigned, declared)
-        elif isinstance(st, (While, Return)):
-            # `while` trip counts and `return` unwinding need concrete
-            # Python control flow — not expressible as a scan body.
+        elif isinstance(st, (While, Return, Break, Continue)):
+            # `while` trip counts, `return` unwinding, and loop control
+            # need concrete Python control flow — not expressible as a
+            # scan body (the unrolled fallback handles them).
             raise _ScanLoweringError(
-                "while/return inside a scanned loop body"
+                "while/return/break/continue inside a scanned loop body"
             )
         # TargetPlus / Sampling accumulate into the target carry implicitly.
 
@@ -369,13 +428,25 @@ class _Interp:
         if isinstance(node, Var):
             if node.name not in self.env:
                 raise StanCompileError(f"undefined variable {node.name!r}")
-            return self.env[node.name]
+            v = self.env[node.name]
+            # Declared row_vectors are stored as plain 1-D values; the tag
+            # attaches lazily at read time from the declared-type table
+            # (row-flagged _LocalArrays carry their own flag).
+            if (
+                not isinstance(v, (RowVector, _LocalArray))
+                and getattr(v, "ndim", None) == 1
+                and self.env.get("__types__", _EMPTY).get(node.name)
+                == "row_vector"
+            ):
+                return RowVector(v)
+            return v
         if isinstance(node, Unary):
             v = self.ev(node.operand)
             if node.op == "-":
-                return -_as_value(v)
+                row, val = _orient(v)
+                return RowVector(-val) if row else -val
             if node.op == "+":
-                return _as_value(v)
+                return _as_value_oriented(v)
             if node.op == "!":
                 return jnp.logical_not(_as_value(v)) if not isinstance(
                     v, (int, float, bool)
@@ -406,15 +477,53 @@ class _Interp:
                     idxs.append(("range", lo, hi))
                 else:
                     idxs.append(self.ev(i))
-            return self._index_read(base, idxs)
+            out = self._index_read(base, idxs)
+            return self._wrap_row_after_index(node.base, base, idxs, out)
         if isinstance(node, Call):
             return self._call(node)
         raise StanCompileError(f"cannot evaluate node {node!r}")
+
+    def _wrap_row_after_index(self, base_node, base, idxs, out):
+        """Stan typing for indexed reads: a 1-D result that keeps (only)
+        the LAST axis of a matrix-family or row_vector-family base is a
+        row_vector — m[i] / m[i, lo:hi] are rows, rv[lo:hi] stays a row,
+        arr_of_rv[i] is a row; m[:, j] (column) and vector/array reads are
+        column vectors. Applies only to declared variables (the type table);
+        RowVector bases re-wrap inside _index_read."""
+        if isinstance(out, RowVector) or getattr(out, "ndim", 0) != 1:
+            return out
+        if isinstance(base, RowVector) or not isinstance(base_node, Var):
+            return out
+        t = self.env.get("__types__", _EMPTY).get(base_node.name)
+        if t not in _ROW_LAST_AXIS_TYPES:
+            return out
+        rank = (
+            len(base.dims)
+            if isinstance(base, _LocalArray)
+            else np.ndim(base)
+        )
+
+        def keeps_axis(i):
+            return (
+                (isinstance(i, tuple) and i and i[0] == "range")
+                or isinstance(i, (list, np.ndarray, jax.Array))
+            )
+
+        kept = [j for j in range(len(idxs)) if keeps_axis(idxs[j])]
+        kept += list(range(len(idxs), rank))
+        if len(kept) == 1 and kept[0] == rank - 1:
+            return RowVector(out)
+        return out
 
     def _index_read(self, base, idxs):
         def is_range(i):
             return isinstance(i, tuple) and i and i[0] == "range"
 
+        if isinstance(base, RowVector):
+            out = self._index_read(base.data, idxs)
+            return (
+                RowVector(out) if getattr(out, "ndim", 0) == 1 else out
+            )
         if isinstance(base, _LocalArray):
             if not any(is_range(i) for i in idxs):
                 return base.get([_require_int(i, "index") for i in idxs])
@@ -430,6 +539,7 @@ class _Interp:
                     )
                 out = _LocalArray([hi - lo + 1])
                 out.data = list(base.data[lo - 1 : hi])
+                out.row = getattr(base, "row", False)
                 return out
             raise StanCompileError(
                 "range indexing on multi-dimensional local containers is "
@@ -462,6 +572,9 @@ class _Interp:
         out = base
         ax = 0
         for i in idxs:
+            if isinstance(i, RowVector):
+                # a concrete [..] literal used as an index position
+                i = i.data
             if isinstance(i, (list, np.ndarray)):
                 iv = np.asarray(i)
             elif isinstance(i, jax.Array) and not isinstance(
@@ -500,36 +613,77 @@ class _Interp:
         both_int = isinstance(lv, (int, np.integer)) and isinstance(
             rv, (int, np.integer)
         )
-        l, r = _as_value(lv), _as_value(rv)
+        lrow, l = _orient(lv)
+        rrow, r = _orient(rv)
+        lnd = getattr(l, "ndim", 0)
+        rnd = getattr(r, "ndim", 0)
+
+        def ew(val):
+            """Elementwise result orientation: row op {row, scalar} stays a
+            row_vector; a row mixed with a column vector or matrix is a Stan
+            type error (caught loudly rather than silently broadcast)."""
+            if not (lrow or rrow):
+                return val
+            if (lrow and (rrow or rnd == 0)) or (rrow and lnd == 0):
+                return RowVector(val)
+            raise StanCompileError(
+                f"operator {op!r}: row_vector mixed with a "
+                "vector/matrix operand (Stan type mismatch); transpose "
+                "one side"
+            )
+
         if op == "+":
-            return l + r
+            return ew(l + r)
         if op == "-":
-            return l - r
+            return ew(l - r)
         if op == "*":
-            # Stan `*` is LINEAR-ALGEBRA multiplication when a matrix is
-            # involved (matrix*matrix, matrix*vector, row_vector*matrix);
-            # `.*` below is the elementwise form. Rank-1 * rank-1 is
-            # REJECTED: without a row/column-vector distinction this
-            # frontend cannot tell Stan's legal row_vector*vector (a dot
-            # product) from the illegal vector*vector — an elementwise
-            # fallback would silently compute the wrong value for the
-            # common X[n] * beta idiom.
-            lnd = getattr(l, "ndim", 0)
-            rnd = getattr(r, "ndim", 0)
+            # Stan `*` is LINEAR-ALGEBRA multiplication. With row
+            # orientation tracked: row_vector * vector is the inner
+            # product, vector * row_vector the outer product,
+            # row_vector * matrix a row_vector; bare vector * vector
+            # remains REJECTED (ambiguous without a declared orientation —
+            # the common X[n] * beta mistake), as is row * row.
+            if lrow or rrow:
+                if lrow and not rrow and rnd == 1:
+                    return jnp.asarray(l, dtype=float) @ jnp.asarray(
+                        r, dtype=float
+                    )  # (1 x N)(N x 1) -> scalar
+                if not lrow and lnd == 1 and rrow:
+                    return jnp.outer(
+                        jnp.asarray(l, dtype=float),
+                        jnp.asarray(r, dtype=float),
+                    )
+                if lrow and rnd == 2:
+                    return RowVector(jnp.asarray(l, dtype=float) @ r)
+                if lrow and rnd == 0:
+                    return RowVector(l * r)
+                if lnd == 0 and rrow:
+                    return RowVector(l * r)
+                raise StanCompileError(
+                    "illegal `*` operand orientations (row_vector * "
+                    "row_vector, or matrix * row_vector)"
+                )
             if lnd >= 1 and rnd >= 1 and (lnd == 2 or rnd == 2):
                 return l @ r
             if lnd == 1 and rnd == 1:
                 raise StanCompileError(
-                    "vector * vector is ambiguous here (this frontend does "
-                    "not track row/column orientation): use dot_product(a, "
-                    "b) for the inner product or a .* b for elementwise"
+                    "vector * vector is ambiguous (neither side is a "
+                    "declared row_vector): use dot_product(a, b) for the "
+                    "inner product, a' * b for an explicit row*column, or "
+                    "a .* b for elementwise"
                 )
             return l * r
         if op == ".*":
-            return l * r
-        if op in ("/", "./"):
+            return ew(l * r)
+        if op == "./":
+            if both_int:
+                return int(l / r)
+            return ew(l / r)
+        if op == "/":
             if both_int:
                 return int(l / r)  # Stan int division truncates toward zero
+            if lrow and rnd == 0:
+                return RowVector(l / r)
             return l / r
         if op == "%":
             return l % r
@@ -563,6 +717,8 @@ class _Interp:
     def _seq_len1(v):
         """Length of a rank-1 value, 0 for scalars, None if not
         scalarizable (rank >= 2 or partially-initialized reads raise)."""
+        if isinstance(v, RowVector):
+            v = v.data
         if isinstance(v, _LocalArray):
             return v.dims[0] if len(v.dims) == 1 else None
         nd = getattr(v, "ndim", None)
@@ -576,6 +732,8 @@ class _Interp:
 
     @staticmethod
     def _elem(v, i):
+        if isinstance(v, RowVector):
+            v = v.data
         if isinstance(v, _LocalArray):
             return v.get([i + 1])
         if isinstance(v, np.ndarray):
@@ -863,7 +1021,7 @@ class _Interp:
             n = int(np.shape(y)[0]) if np.shape(y) else 1
             return self._call_user_fn(fd, [y, 1, n] + extra)
         raw = [self.ev(a) for a in node.args]
-        if name == "__stack__":  # {a, b, c} / [a, b, c] literals
+        if name == "__stack__":  # {a, b, c} array literals
             vals = [_as_value(v) for v in raw]
             if not vals:
                 return np.zeros((0,))
@@ -873,6 +1031,25 @@ class _Interp:
             return jnp.stack(
                 [jnp.asarray(v, dtype=float) for v in vals]
             )
+        if name == "__rowvec__":
+            # [a, b, c] matrix-expression literal: scalars -> row_vector;
+            # row_vector elements -> matrix (rows). [..]' is then the
+            # column-vector idiom via the transpose builtin.
+            if raw and all(is_row(v) for v in raw):
+                return jnp.vstack(
+                    [jnp.atleast_2d(_as_value(v)) for v in raw]
+                )
+            vals = [_as_value(v) for v in raw]
+            if not vals:
+                return RowVector(np.zeros((0,)))
+            if all(isinstance(v, (int, np.integer)) for v in vals):
+                # keep static ints CONCRETE (np payload) so [1, 2]' stays
+                # a usable data vector; the row tag still makes [..]' the
+                # column-vector idiom, and index positions unwrap the tag
+                return RowVector(np.asarray(vals, dtype=np.int64))
+            return RowVector(jnp.stack(
+                [jnp.asarray(v, dtype=float) for v in vals]
+            ))
         # _as_value STACKS _LocalArray containers — evaluated lazily so the
         # scalarized paths (which read containers element-by-element) never
         # trace a dead whole-container stack into the jaxpr (pallas lowers
@@ -880,7 +1057,11 @@ class _Interp:
         args = lambda: [_as_value(v) for v in raw]
         fns = self.env.get("__functions__")
         if fns is not None and name in fns:
-            return self._call_user_fn(fns[name], args())
+            # keep orientation tags across the call boundary (declared
+            # row_vector params also re-tag via the fenv type table)
+            return self._call_user_fn(
+                fns[name], [_as_value_oriented(v) for v in raw]
+            )
         if name.endswith("_rng"):
             dist = name[: -len("_rng")]
             if self.rng_key is None:
@@ -935,9 +1116,22 @@ class _Interp:
                 out = self._elementwise_scalarized(name, raw[0])
                 if out is not None:
                     return out
+            if name in _ORIENT_FNS:
+                # orientation-aware builtins see the RowVector tags
+                return FUNCTIONS[name](
+                    *[_as_value_oriented(v) for v in raw]
+                )
             return FUNCTIONS[name](*args())
         if name in ("num_elements", "size", "rows", "cols", "dims"):
             arr = raw[0]
+            if isinstance(arr, RowVector):
+                # Stan: rows(row_vector) = 1, cols = length
+                if name == "rows":
+                    return 1
+                shape = np.shape(arr.data)
+                if name == "cols":
+                    return int(shape[0])
+                arr = arr.data
             shape = (
                 arr.dims
                 if isinstance(arr, _LocalArray)
@@ -974,6 +1168,9 @@ class _Interp:
         fenv = {
             "__functions__": self.env.get("__functions__"),
             "__fdepth__": depth + 1,
+            # parameter orientation: declared row_vector params re-tag
+            # their (possibly untagged) argument values at read time
+            "__types__": {p[1]: p[0] for p in fd.params},
         }
         fenv.update(zip((p[1] for p in fd.params), args))
         sub = _Interp(fenv, scan_threshold=self.scan_threshold,
@@ -1068,7 +1265,12 @@ class _Interp:
             shadowed = self.env.get(s.var)
             for i in range(lo, hi + 1):
                 self.env[s.var] = i
-                self.run(s.body)
+                try:
+                    self.run(s.body)
+                except _LoopContinue:
+                    continue
+                except _LoopBreak:
+                    break
             if shadowed is not None:
                 self.env[s.var] = shadowed
             else:
@@ -1091,7 +1293,12 @@ class _Interp:
                     )
                 if not cond:
                     break
-                self.run(s.body)
+                try:
+                    self.run(s.body)
+                except _LoopContinue:
+                    pass
+                except _LoopBreak:
+                    break
                 trips += 1
                 if trips > 100_000:
                     raise StanCompileError(
@@ -1100,10 +1307,16 @@ class _Interp:
                     )
         elif isinstance(s, Return):
             raise _FnReturn(
-                None if s.expr is None else _as_value(self.ev(s.expr))
+                None
+                if s.expr is None
+                else _as_value_oriented(self.ev(s.expr))
             )
         elif isinstance(s, ExprStmt):
             self.ev(s.expr)  # side effect only (user fn `target +=`)
+        elif isinstance(s, Break):
+            raise _LoopBreak()
+        elif isinstance(s, Continue):
+            raise _LoopContinue()
         elif isinstance(s, Reject):
             raise StanCompileError(
                 f"line {s.line}: reject() reached during tracing — with "
@@ -1128,11 +1341,25 @@ class _Interp:
             _require_int(self.ev(d), f"line {s.line}: dimension")
             for d in s.dims
         ]
+        # Record the declared base type so indexed reads / Var reads can
+        # attach Stan row/column orientation (see _wrap_row_after_index).
+        types = self.env.get("__types__")
+        if types is None:
+            types = {}
+            self.env["__types__"] = types
+        types[s.name] = s.type
         if s.init is not None:
             val = self.ev(s.init)
+            if s.type == "row_vector" and getattr(val, "ndim", 0) == 1:
+                val = _as_value_oriented(val)
+                if not isinstance(val, RowVector):
+                    val = RowVector(val)
             self.env[s.name] = val
         elif dims:
-            self.env[s.name] = _LocalArray(dims)
+            la = _LocalArray(dims)
+            if s.type == "row_vector" and len(dims) == 1:
+                la.row = True
+            self.env[s.name] = la
         else:
             self.env[s.name] = None  # scalar declared, not yet assigned
         return dims
@@ -1160,6 +1387,16 @@ class _Interp:
 
     def _indexed_assign(self, name, idxs, val):
         container = self.env.get(name)
+        if isinstance(container, RowVector):
+            ix = tuple(
+                _require_int(i, "assignment index") - 1 for i in idxs
+            )
+            self.env[name] = RowVector(
+                jnp.asarray(container.data, dtype=float)
+                .at[ix]
+                .set(_as_value(val))
+            )
+            return
         if isinstance(container, _LocalArray):
             container.set(
                 [_require_int(i, "assignment index") for i in idxs],
@@ -1702,6 +1939,7 @@ class _ParamSpec:
             )
         self.offset = offset
         self.multiplier = multiplier
+        self.decl_type = decl.type  # for the orientation type table
         self.vtype = decl.type if decl.type in _VEC_CONSTRAINED else None
         if self.vtype is not None and len(sizes) != 1:
             raise StanCompileError(
@@ -1880,7 +2118,7 @@ def load_stan_data(path: str) -> dict:
 
 
 def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
-    env = {}
+    env = {"__types__": {}}
     # User-defined functions ride the env under a reserved key (Stan
     # identifiers cannot start with '_'), so every interpreter copy —
     # including scan-lowered loop bodies and the constrain/GQ paths — can
@@ -1897,6 +2135,7 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
             continue  # bound per-evaluation as the tempering argument
         if decl.name not in data:
             raise StanCompileError(f"data variable {decl.name!r} missing")
+        env["__types__"][decl.name] = decl.type
         raw = data[decl.name]
         if decl.type == "int" and not decl.dims:
             env[decl.name] = int(raw)
@@ -2014,7 +2253,7 @@ def _body_has_carried_dep(body, loopvar) -> bool:
                 # `written` (conservative toward "carried").
                 walk(st.then)
                 walk(st.other)
-            elif isinstance(st, (While, Return, ExprStmt)):
+            elif isinstance(st, (While, Return, ExprStmt, Break, Continue)):
                 found = True  # unanalyzable control flow / side effects
 
     walk(body)
@@ -2156,9 +2395,16 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             off += s.count
         return env, jac
 
+    param_types = {s.name: s.decl_type for s in specs}
+
     def _eval_target(theta, phi, threshold=scan_threshold,
                      scalarize=False):
         env = dict(data_env)
+        # Fresh orientation table per evaluation (the shallow env copy would
+        # otherwise share data_env's dict and leak model-block decls).
+        env["__types__"] = {
+            **data_env.get("__types__", _EMPTY), **param_types
+        }
         penv, jac = _unpack(theta)
         env.update(penv)
         if has_phi:
@@ -2199,6 +2445,8 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
                     v = float("nan")  # declared, never assigned: Stan's NaN
                 elif isinstance(v, _LocalArray):
                     v = v.as_array_filled()
+                elif isinstance(v, RowVector):
+                    v = v.data
                 v = jnp.asarray(v, dtype=float)
                 parts.append(v.reshape(-1) if v.ndim else v[None])
         return parts, interp.env
@@ -2210,6 +2458,9 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
             v = jnp.asarray(penv[s.name], dtype=float)
             parts.append(v.reshape(-1) if v.ndim else v[None])
         env = dict(data_env)
+        env["__types__"] = {
+            **data_env.get("__types__", _EMPTY), **param_types
+        }
         env.update(penv)
         if has_phi:
             env["phi"] = jnp.asarray(1.0, dtype=float)

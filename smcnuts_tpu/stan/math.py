@@ -880,13 +880,75 @@ DISTRIBUTIONS.update(
 )
 
 
+# ---- orientation ----
+
+
+class RowVector:
+    """A 1-D value tagged with ROW orientation (Stan's `row_vector`).
+
+    Stan distinguishes column vectors from row vectors in its type system;
+    this frontend's value layer is shape-based (1-D = column vector), so row
+    orientation rides as this lightweight tag. The payload is a 1-D array
+    (np or jnp). Orientation-aware sites (transpose, `*`, append_row/col,
+    indexing — compiler._binop / _index_read) inspect the tag; everything
+    else unwraps through `_as_arr` / compiler's `_as_value` and treats the
+    payload like any 1-D value (correct wherever Stan's semantics do not
+    depend on orientation, e.g. distribution arguments and reductions).
+    """
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = data
+
+    def __repr__(self):
+        return f"RowVector({self.data!r})"
+
+
+def is_row(v) -> bool:
+    return isinstance(v, RowVector)
+
+
 # ---- scalar / container builtins ----
 
 def _as_arr(x):
+    if isinstance(x, RowVector):
+        x = x.data
     return jnp.asarray(x, dtype=float)
 
 
+def _transpose(x):
+    """Stan `'`: matrix -> matrix.T; vector <-> row_vector; scalar id."""
+    if isinstance(x, RowVector):
+        return _as_arr(x)
+    a = _as_arr(x)
+    if a.ndim == 2:
+        return a.T
+    if a.ndim == 1:
+        return RowVector(a)
+    return a
+
+
+def _orient_preserving(f):
+    """Wrap a vector->vector builtin so a RowVector input keeps its
+    orientation (Stan: head/tail/segment/reverse/sort of a row_vector
+    return a row_vector)."""
+
+    def g(v, *rest):
+        out = f(_as_arr(v), *rest)
+        return RowVector(out) if isinstance(v, RowVector) else out
+
+    return g
+
+
 def _append_row(a, b):
+    """Stan append_row: matrices/row_vectors stack rows; vectors/scalars
+    concatenate. A row_vector argument acts as a 1-row matrix (so
+    append_row(r1', r2') builds a 2 x N matrix, matching Stan)."""
+    if is_row(a) or is_row(b):
+        return jnp.vstack(
+            [jnp.atleast_2d(_as_arr(a)), jnp.atleast_2d(_as_arr(b))]
+        )
     a2, b2 = _as_arr(a), _as_arr(b)
     if a2.ndim <= 1 and b2.ndim <= 1:
         return jnp.concatenate([jnp.atleast_1d(a2), jnp.atleast_1d(b2)])
@@ -894,10 +956,19 @@ def _append_row(a, b):
 
 
 def _append_col(a, b):
-    """Orientation is untracked here (1-D arrays act as column vectors, as
-    in this frontend's matmul semantics), so: scalar+1-D concatenates (the
-    row-vector idiom), 1-D+1-D column-stacks to (N, 2) (the design-matrix
-    idiom), anything with a matrix hstacks."""
+    """Stan append_col: matrices/vectors stack columns; row_vectors and
+    scalars CONCATENATE into a longer row_vector. For untracked 1-D values
+    the legacy conventions hold: scalar+1-D concatenates (the row-vector
+    idiom), 1-D+1-D column-stacks to (N, 2) (the design-matrix idiom)."""
+    if is_row(a) or is_row(b):
+        ar, br = _as_arr(a), _as_arr(b)
+        if ar.ndim <= 1 and br.ndim <= 1:
+            return RowVector(jnp.concatenate(
+                [jnp.atleast_1d(ar), jnp.atleast_1d(br)]
+            ))
+        raise ValueError(
+            "append_col: cannot mix a row_vector with a matrix/vector"
+        )
     a2, b2 = _as_arr(a), _as_arr(b)
     if a2.ndim == 0 or b2.ndim == 0:
         return jnp.concatenate([jnp.atleast_1d(a2), jnp.atleast_1d(b2)])
@@ -1015,10 +1086,12 @@ FUNCTIONS = {
     "log2": jnp.log2,
     "log10": jnp.log10,
     # Container slicing (static sizes, as everywhere in this frontend).
-    "head": lambda v, n: _as_arr(v)[: int(n)],
+    "head": _orient_preserving(lambda v, n: v[: int(n)]),
     # explicit start index: [-0:] would be the WHOLE vector for n=0
-    "tail": lambda v, n: _as_arr(v)[_as_arr(v).shape[0] - int(n):],
-    "segment": lambda v, i, n: _as_arr(v)[int(i) - 1 : int(i) - 1 + int(n)],
+    "tail": _orient_preserving(lambda v, n: v[v.shape[0] - int(n):]),
+    "segment": _orient_preserving(
+        lambda v, i, n: v[int(i) - 1 : int(i) - 1 + int(n)]
+    ),
     # Matrix helpers for the Cholesky-factor hierarchical idiom.
     "diag_pre_multiply": lambda d, m: _as_arr(d)[:, None] * _as_arr(m),
     "diag_post_multiply": lambda m, d: _as_arr(m) * _as_arr(d)[None, :],
@@ -1073,7 +1146,7 @@ FUNCTIONS = {
     "append_col": _append_col,
     "rep_matrix": _rep_matrix,
     "to_matrix": _to_matrix,
-    "to_row_vector": _flatten_colmajor,
+    "to_row_vector": lambda x: RowVector(_flatten_colmajor(x)),
     "columns_dot_product": lambda a, b: jnp.sum(
         _as_arr(a) * _as_arr(b), axis=0
     ),
@@ -1098,8 +1171,8 @@ FUNCTIONS = {
     "int_step": lambda x: jnp.where(_as_arr(x) > 0.0, 1.0, 0.0),
     "fdim": lambda x, y: jnp.maximum(_as_arr(x) - _as_arr(y), 0.0),
     "hypot": jnp.hypot,
-    "sort_asc": lambda v: jnp.sort(_as_arr(v)),
-    "sort_desc": lambda v: jnp.sort(_as_arr(v))[::-1],
+    "sort_asc": _orient_preserving(jnp.sort),
+    "sort_desc": _orient_preserving(lambda v: jnp.sort(v)[::-1]),
     "sort_indices_asc": lambda v: jnp.argsort(_as_arr(v)) + 1,
     "sort_indices_desc": lambda v: jnp.argsort(-_as_arr(v)) + 1,
     "rank": lambda v, i: jnp.sum(
@@ -1122,15 +1195,17 @@ FUNCTIONS = {
     "max": lambda x: jnp.max(_as_arr(x)),
     "dot_product": lambda a, b: jnp.dot(_as_arr(a), _as_arr(b)),
     "dot_self": lambda a: jnp.dot(_as_arr(a), _as_arr(a)),
-    "cumulative_sum": lambda x: jnp.cumsum(_as_arr(x)),
-    "reverse": lambda x: _as_arr(x)[::-1],
-    "transpose": lambda x: jnp.transpose(_as_arr(x)),
+    "cumulative_sum": _orient_preserving(jnp.cumsum),
+    "reverse": _orient_preserving(lambda x: x[::-1]),
+    "transpose": _transpose,
     "col": lambda m, j: _as_arr(m)[:, j - 1],
-    "row": lambda m, i: _as_arr(m)[i - 1, :],
+    "row": lambda m, i: RowVector(_as_arr(m)[i - 1, :]),
     "diag_matrix": lambda v: jnp.diag(_as_arr(v)),
     "diagonal": lambda m: jnp.diag(_as_arr(m)),
     "rep_vector": lambda v, n: jnp.full((n,), v, dtype=float),
-    "rep_row_vector": lambda v, n: jnp.full((n,), v, dtype=float),
+    "rep_row_vector": lambda v, n: RowVector(
+        jnp.full((n,), v, dtype=float)
+    ),
     "rep_array": lambda v, n: jnp.full((n,), v),
     "to_vector": _flatten_colmajor,
     "to_array_1d": lambda x: jnp.ravel(_as_arr(x)),

@@ -223,6 +223,16 @@ class ExprStmt:
 
 
 @dataclasses.dataclass
+class Break:
+    line: int = 0
+
+
+@dataclasses.dataclass
+class Continue:
+    line: int = 0
+
+
+@dataclasses.dataclass
 class FuncDef:
     ret_type: str  # 'void' | 'int' | 'real' | 'vector' | 'row_vector' | 'matrix'
     name: str
@@ -407,6 +417,14 @@ class _Parser:
                 expr = self.parse_expr()
             self.expect(";")
             return Return(expr, line=tok.line)
+        if tok.text == "break":
+            self.advance()
+            self.expect(";")
+            return Break(line=tok.line)
+        if tok.text == "continue":
+            self.advance()
+            self.expect(";")
+            return Continue(line=tok.line)
         if tok.text in ("print", "reject"):
             # Skip through the call and ';' (arguments are display-only).
             is_reject = tok.text == "reject"
@@ -694,10 +712,13 @@ class _Parser:
             self.expect(")")
             return expr
         if tok.text in ("{", "["):
-            # Array literal {a, b, c} / row-vector literal [a, b, c]
-            # (orientation is untracked; both stack along a new leading
-            # axis, so [..]' round-trips through the transpose builtin).
+            # Array literal {a, b, c} stacks along a new leading axis;
+            # the bracketed matrix-expression literal [a, b, c] is a
+            # ROW VECTOR (Stan reference: matrix expressions), and
+            # [[..],[..]] / [rv1, rv2] a matrix — so [..]' is the
+            # column-vector idiom.
             close = "}" if tok.text == "{" else "]"
+            kind = "__stack__" if tok.text == "{" else "__rowvec__"
             self.advance()
             elems = []
             if self.cur.text != close:
@@ -705,7 +726,7 @@ class _Parser:
                 while self.accept(","):
                     elems.append(self.parse_expr())
             self.expect(close)
-            return Call("__stack__", elems)
+            return Call(kind, elems)
         if tok.kind == "id":
             self.advance()
             if self.cur.text == "(":

@@ -28,8 +28,9 @@ def test_to_vector_column_major_roundtrip():
     m = np.arange(1.0, 7.0).reshape(2, 3)
     want = m.T.ravel()  # column-major
     np.testing.assert_allclose(np.asarray(FUNCTIONS["to_vector"](m)), want)
+    # to_row_vector carries the row-orientation tag
     np.testing.assert_allclose(
-        np.asarray(FUNCTIONS["to_row_vector"](m)), want
+        np.asarray(FUNCTIONS["to_row_vector"](m).data), want
     )
     # round-trips with to_matrix's column-major fill
     back = FUNCTIONS["to_matrix"](FUNCTIONS["to_vector"](m), 2, 3)
