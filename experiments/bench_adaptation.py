@@ -36,13 +36,18 @@ from smcnuts_tpu.utils.timing import fresh_keys, materialize, time_materialized
 from parity_summary import ground_truth, mean_band, var_band
 
 
-def measure(model_name, mode, runs, n, k, step, seed0=10):
+def measure(model_name, mode, runs, n, k, step, seed0=10,
+            target_accept=0.8):
+    """`mode`: 'fixed' | 'adapt' (step + mass) | 'adapt_step' |
+    'mass_only'. `step` is the initial (or fixed) step size;
+    `target_accept` feeds dual averaging."""
     model = get_model(model_name)
-    adapt = mode == "adapt"
     cfg = SMCConfig(
         n_particles=n, n_iterations=k, step_size=step,
         save_history=False,
-        adapt_step_size=adapt, adapt_mass_matrix=adapt,
+        adapt_step_size=mode in ("adapt", "adapt_step"),
+        adapt_mass_matrix=mode in ("adapt", "mass_only"),
+        target_accept=target_accept,
     )
 
     def one(key):
@@ -78,6 +83,7 @@ def measure(model_name, mode, runs, n, k, step, seed0=10):
     return {
         "model": model_name,
         "mode": mode,
+        "target_accept": target_accept,
         "runs": runs,
         "N": n,
         "K": k,
@@ -108,19 +114,36 @@ def main(argv=None):
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
+    # Acceptance-target sweep per model (VERDICT r3 #2): the default 0.8
+    # target is right for arma (its optimum is step >> scale, trees of
+    # depth 1-2), but PRMwCD's deep trees want a LOWER target — 0.5 lets
+    # dual averaging raise the step ~6.4x and cuts leapfrogs/iteration
+    # ~5x while the parity bands still pass (measured sweep, round 4).
+    targets = {"arma": (0.8,), "prmwcd": (0.8, 0.6, 0.5)}
     rows = []
     for model in args.models:
-        for mode in ("fixed", "adapt"):
-            row = measure(model, mode, args.runs, args.particles,
+        row = measure(model, "fixed", args.runs, args.particles,
+                      args.iterations, args.step_size, seed0=args.seed0)
+        rows.append(row)
+        print(json.dumps(row))
+        for ta in targets.get(model, (0.8,)):
+            row = measure(model, "adapt", args.runs, args.particles,
                           args.iterations, args.step_size,
-                          seed0=args.seed0)
+                          seed0=args.seed0, target_accept=ta)
             rows.append(row)
             print(json.dumps(row))
     for model in args.models:
         fixed = next(r for r in rows
                      if r["model"] == model and r["mode"] == "fixed")
-        ad = next(r for r in rows
-                  if r["model"] == model and r["mode"] == "adapt")
+        # best adapted row by throughput among band-passing targets
+        ad = max(
+            (r for r in rows
+             if r["model"] == model and r["mode"] == "adapt"
+             and r["mean_within_band"] and r["var_within_band"]),
+            key=lambda r: r["particle_iters_per_s"],
+            default=next(r for r in rows if r["model"] == model
+                         and r["mode"] == "adapt"),
+        )
         if ad["total_gradient_evals_per_run"]:
             print(
                 f"{model}: adaptation uses "
