@@ -119,22 +119,46 @@ _SCHEMES = {
 }
 
 
-def resample_if_required(key, x, logw, wn, log_likelihood, ess_val, threshold_frac=0.5, scheme="multinomial"):
+def resample_if_required(key, x, logw, wn, log_likelihood, ess_val,
+                         threshold_frac=0.5, scheme="multinomial",
+                         conditional=False):
     """Conditionally resample (reference samples.py:116-146).
 
-    Computes the resampled state unconditionally and selects with `where`
-    (branchless — jit/sharding friendly). Returns (x, logw, did_resample).
+    Default: computes the resampled state unconditionally and selects with
+    `where` (branchless — the right form under vmapped Monte-Carlo batches,
+    where a lax.cond lowers to a both-branches select anyway).
+
+    `conditional=True` wraps the resample in a real `lax.cond` so
+    non-triggering iterations skip it entirely — the right form for LARGE
+    sharded single runs, where the resample's cross-shard ancestor
+    exchange (all-gather, ~24 bytes/particle — experiments/comm_roofline.py)
+    is the dominant collective and ESS crosses the threshold only every few
+    iterations. The trigger scalar is replicated across shards, so every
+    shard takes the same branch. Identical results either way (same key,
+    same draws when triggered).
     """
     n = x.shape[0]
-    if scheme == "multinomial" and n <= _DENSE_INVERT_MAX_N and (
-        x.dtype == jnp.float32
-    ):
-        (x_res,) = multinomial_take_rows(key, wn, [x])
-    else:
-        ancestors = _SCHEMES[scheme](key, wn)
-        x_res = jnp.take(x, ancestors, axis=0)
-    logw_res = jnp.full((n,), log_likelihood - jnp.log(n), dtype=logw.dtype)
+
+    def _resampled(key, x, logw):
+        if scheme == "multinomial" and n <= _DENSE_INVERT_MAX_N and (
+            x.dtype == jnp.float32
+        ):
+            (x_res,) = multinomial_take_rows(key, wn, [x])
+        else:
+            ancestors = _SCHEMES[scheme](key, wn)
+            x_res = jnp.take(x, ancestors, axis=0)
+        logw_res = jnp.full(
+            (n,), log_likelihood - jnp.log(n), dtype=logw.dtype
+        )
+        return x_res, logw_res
+
     do = ess_val < n * threshold_frac
+    if conditional:
+        x_out, logw_out = jax.lax.cond(
+            do, _resampled, lambda k, xx, lw: (xx, lw), key, x, logw
+        )
+        return x_out, logw_out, do
+    x_res, logw_res = _resampled(key, x, logw)
     x_out = jnp.where(do, x_res, x)
     logw_out = jnp.where(do, logw_res, logw)
     return x_out, logw_out, do

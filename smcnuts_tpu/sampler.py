@@ -193,10 +193,15 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
             mean_k, var_k = constrained_estimate(model, carry.x, wn)
         ess_k = compute_ess(wn)
 
-        # 5: threshold-triggered resampling, before the proposal.
+        # 5: threshold-triggered resampling, before the proposal. Under a
+        # particle mesh the resample runs in a real lax.cond (its
+        # cross-shard ancestor exchange is the dominant collective —
+        # comm_roofline.json); un-meshed runs keep the branchless form
+        # (vmapped MC batches would execute both cond branches anyway).
         x_r, logw_r, did_resample = resample_if_required(
             k_res, carry.x, carry.logw, wn, log_likelihood, ess_k,
             cfg.ess_threshold_frac, cfg.resampling,
+            conditional=mesh is not None,
         )
 
         # 6: NUTS proposal at temperature phi. With mass-matrix adaptation
