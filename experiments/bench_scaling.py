@@ -22,25 +22,42 @@ from smcnuts_tpu.utils.timing import fresh_key, time_materialized
 
 
 def measure(model, n, k, backend, step_size=0.01, repeats=3):
-    cfg = SMCConfig(
-        n_particles=n, n_iterations=k, step_size=step_size,
-        lkernel="forwardsLKernel", save_history=False, nuts_backend=backend,
-    )
+    """Returns (device_rate, wall_rate, t_K): `device_rate` is the
+    K-vs-4K MARGINAL throughput (the per-dispatch transport floor — a
+    fixed ~60 ms on the axon relay, unrelated to the chip — cancels in
+    the difference; same protocol as bench_kernel/bench_epilogue);
+    `wall_rate` is the whole-dispatch number including that floor (the
+    round-2/3 scaling.json convention, dominated by the relay at small
+    N·K — it measures the dev-harness link, not the chip)."""
 
-    # Return only two small arrays: on the relay transport each fetched
-    # output array costs a ~25 ms round trip, so materializing the full
-    # SMCResult (~15 arrays) would bury small-N timings under ~0.4 s of
-    # per-array fetch latency (measured via bench_epilogue.py).
-    def slim(key):
-        r = run_smc(model, cfg, key)
-        return r.mean_estimate[-1], r.ess[-1]
+    def timed(k_iters):
+        cfg = SMCConfig(
+            n_particles=n, n_iterations=k_iters, step_size=step_size,
+            lkernel="forwardsLKernel", save_history=False,
+            nuts_backend=backend,
+        )
 
-    f = jax.jit(slim)
-    # Fresh urandom keys per repetition + host-materialization sync: the
-    # relay transport memoizes repeated args and ignores block_until_ready
-    # (utils/timing.py).
-    best, _ = time_materialized(f, lambda: (fresh_key(),), repeats=repeats)
-    return n * k / best, best
+        # Return only two small arrays: on the relay transport each fetched
+        # output array costs a ~25 ms round trip, so materializing the full
+        # SMCResult (~15 arrays) would bury small-N timings under ~0.4 s of
+        # per-array fetch latency (measured via bench_epilogue.py).
+        def slim(key):
+            r = run_smc(model, cfg, key)
+            return r.mean_estimate[-1], r.ess[-1]
+
+        f = jax.jit(slim)
+        # Fresh urandom keys per repetition + host-materialization sync:
+        # the relay memoizes repeated args and ignores block_until_ready
+        # (utils/timing.py).
+        best, _ = time_materialized(
+            f, lambda: (fresh_key(),), repeats=repeats
+        )
+        return best
+
+    t1 = timed(k)
+    t4 = timed(4 * k)
+    device_rate = n * 3 * k / max(t4 - t1, 1e-9)
+    return device_rate, n * k / t1, t1
 
 
 def main(argv=None):
@@ -68,7 +85,9 @@ def main(argv=None):
             # blocks (ops/nuts.nuts_batch), bounding both the deepest-tree
             # stall domain and the live tree state.
             try:
-                rate, best = measure(model, n, args.iterations, backend)
+                rate, wall_rate, best = measure(
+                    model, n, args.iterations, backend
+                )
             except Exception as e:  # one bad point must not kill the sweep
                 print(f"{backend:7s} N={n:7d}: FAILED ({e})", flush=True)
                 rows.append(
@@ -79,10 +98,12 @@ def main(argv=None):
             rows.append(
                 {"backend": backend, "N": n, "K": args.iterations,
                  "particle_iters_per_s": round(rate, 1),
+                 "wall_particle_iters_per_s": round(wall_rate, 1),
                  "seconds": round(best, 4)}
             )
             print(
-                f"{backend:7s} N={n:7d}: {rate:12.0f} p-i/s ({best:.4f}s)",
+                f"{backend:7s} N={n:7d}: {rate:12.0f} p-i/s device "
+                f"({wall_rate:.0f} incl. dispatch floor, {best:.4f}s)",
                 flush=True,
             )
 

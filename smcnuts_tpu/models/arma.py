@@ -97,6 +97,12 @@ def make_arma(y=None, fused: str | None = None) -> Model:
 
         loglik_vg = make_arma_loglik_vg(y, backend=fused)
 
+    # Production tile model: the hand-fused tangent recurrences. At the
+    # jitter-proof protocol (K=300 vs 1200, repeats=5 — see the verify
+    # skill's noise note) the hand kernel measures 1.214 us/leaf vs 1.465
+    # for the machine-generated arma_tile_model_fwd (1.21x) and 1.657 for
+    # the Stan-frontend-compiled kernel (1.36x); earlier single-K=50
+    # readings that suggested otherwise were inside the +-30% relay noise.
     from ..ops.nuts_pallas import arma_tile_model
 
     return Model(

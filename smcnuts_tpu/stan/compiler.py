@@ -954,10 +954,126 @@ class _Interp:
         sol = odeint(rhs, y0, times, rtol=rtol, atol=atol, mxstep=mxstep)
         return sol[1:]
 
+    # 30-point Gauss-Legendre nodes/weights on [-1, 1] (numpy.leggauss,
+    # computed once at import) for integrate_1d: a FIXED quadrature —
+    # no adaptive control flow, so it jits/vmaps and sits fine inside
+    # NUTS trees; accuracy is spectral for the smooth integrands the
+    # interface sees in practice (Stan's rel_tol arg is accepted and
+    # ignored, like the ODE tolerance hints).
+    _GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(30)
+
+    def _integrate_1d(self, node: Call):
+        """Stan integrate_1d(f, a, b, theta, x_r, x_i[, rel_tol]):
+        integrand f(x, xc, theta, x_r, x_i) -> real. Finite bounds only
+        (the infinite-limit variable transforms are not implemented);
+        bounds may be parameters — gradients flow through the quadrature
+        (incl. the Leibniz boundary terms, which the fixed-node map picks
+        up exactly because the nodes are affine in a and b)."""
+        fns = self.env.get("__functions__") or {}
+        if (
+            not node.args
+            or not isinstance(node.args[0], Var)
+            or node.args[0].name not in fns
+        ):
+            raise StanCompileError(
+                "integrate_1d requires a user-defined integrand function "
+                "name as its first argument"
+            )
+        if len(node.args) < 6:
+            raise StanCompileError(
+                "integrate_1d(f, a, b, theta, x_r, x_i[, rel_tol]) takes "
+                "at least 6 arguments"
+            )
+        fd = fns[node.args[0].name]
+        a = _as_value(self.ev(node.args[1]))
+        b = _as_value(self.ev(node.args[2]))
+        theta = _as_value(self.ev(node.args[3]))
+        x_r = _as_value(self.ev(node.args[4]))
+        x_i = self.ev(node.args[5])
+        for v, nm_ in ((a, "a"), (b, "b")):
+            if isinstance(v, float) and not np.isfinite(v):
+                raise StanCompileError(
+                    "integrate_1d: infinite bounds are not supported "
+                    "(apply the variable transform in the Stan program)"
+                )
+        half = (jnp.asarray(b, dtype=float) - a) * 0.5
+        mid = (jnp.asarray(b, dtype=float) + a) * 0.5
+        total = None
+        for xi, wi in zip(self._GL_NODES, self._GL_WEIGHTS):
+            x = mid + half * float(xi)
+            # xc (the distance-to-nearest-endpoint helper for removable
+            # singularities) is passed as in Stan
+            xc = jnp.minimum(x - a, jnp.asarray(b, dtype=float) - x)
+            val = self._call_user_fn(fd, [x, xc, theta, x_r, x_i])
+            term = float(wi) * _as_value(val)
+            total = term if total is None else total + term
+        return half * total
+
+    _ALGEBRA_SOLVERS = frozenset({
+        "algebra_solver", "algebra_solver_newton", "solve_newton",
+        "solve_powell",
+    })
+
+    def _algebra_solve(self, node: Call):
+        """Stan's nonlinear-system interfaces -> damped Newton with a
+        FIXED iteration count (jit/vmap-friendly; no data-dependent
+        control flow inside NUTS trees). All variants share it — the
+        Powell/Newton choice is a robustness hint. Signatures:
+          algebra_solver(f, y_guess, theta, x_r, x_i[, rtol, ftol, max])
+            with f(y, theta, x_r, x_i)
+          solve_newton/solve_powell(f, y_guess, ...args) with f(y, ...args)
+        Gradients flow by differentiating the unrolled iteration, which at
+        convergence equals the implicit-function-theorem derivative."""
+        fns = self.env.get("__functions__") or {}
+        if (
+            not node.args
+            or not isinstance(node.args[0], Var)
+            or node.args[0].name not in fns
+        ):
+            raise StanCompileError(
+                f"{node.name} requires a user-defined system function "
+                "name as its first argument"
+            )
+        fd = fns[node.args[0].name]
+        y0 = jnp.atleast_1d(
+            jnp.asarray(_as_value(self.ev(node.args[1])), dtype=float)
+        )
+        if node.name == "algebra_solver" or node.name == (
+            "algebra_solver_newton"
+        ):
+            if len(node.args) < 5:
+                raise StanCompileError(
+                    f"{node.name}(f, y_guess, theta, x_r, x_i) takes at "
+                    "least 5 arguments"
+                )
+            extra = [
+                _as_value(self.ev(a)) for a in node.args[2:5]
+            ]
+        else:
+            extra = [_as_value(self.ev(a)) for a in node.args[2:]]
+
+        def system(y):
+            out = self._call_user_fn(fd, [y] + list(extra))
+            return jnp.atleast_1d(jnp.asarray(_as_value(out), dtype=float))
+
+        y = y0
+        for _ in range(16):
+            fy = system(y)
+            jac = jax.jacfwd(system)(y)
+            step = jnp.linalg.solve(
+                jac + 1e-10 * jnp.eye(y.shape[0]), fy
+            )
+            y = y - step
+        return y
+
     def _call(self, node: Call):
         name = node.name
         if name in self._ODE_SOLVERS:
             return self._ode_solve(node)
+        if name == "integrate_1d":
+            return self._integrate_1d(node)
+        if name in self._ALGEBRA_SOLVERS:
+            return self._algebra_solve(node)
         if name == "map_rect":
             # Stan's multi-process map: f(phi, theta_j, x_r_j, x_i_j) per
             # job, outputs concatenated. Parallelism here comes from the

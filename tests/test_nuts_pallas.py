@@ -456,3 +456,33 @@ def test_cse_jaxpr_folds_duplicates_and_identities():
         ).jaxpr.eqns
     ]
     assert prims.count("exp") == 1, prims
+
+
+def test_generated_fwd_tile_matches_hand_tile():
+    """The machine-generated arma tile model (forward-mode jvp through the
+    algebraic simplifier, ops/nuts_pallas.arma_tile_model_fwd) must match
+    the hand-fused kernel's values and gradients to f32 reassociation
+    tolerance — the generated-path regression anchor."""
+    from smcnuts_tpu.ops.nuts_pallas import (
+        arma_tile_model,
+        arma_tile_model_fwd,
+    )
+
+    y = np.load(_ASSET)["y"]
+    tm_h, tm_g = arma_tile_model(y), arma_tile_model_fwd(y)
+    assert tm_g.autodiff == "forward"
+    rng = np.random.default_rng(5)
+    xt = [
+        jnp.asarray(rng.normal(size=(8, 128)) * 0.3, jnp.float32)
+        for _ in range(4)
+    ]
+    phi = jnp.full((8, 128), 0.7, jnp.float32)
+    lp_h, g_h = tm_h.tile_fn((), xt, phi)
+    lp_g, g_g = tm_g.tile_fn((), xt, phi)
+    np.testing.assert_allclose(
+        np.asarray(lp_g), np.asarray(lp_h), rtol=2e-5
+    )
+    for d in range(4):
+        np.testing.assert_allclose(
+            np.asarray(g_g[d]), np.asarray(g_h[d]), rtol=1e-3, atol=5e-3
+        )

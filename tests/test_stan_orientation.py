@@ -341,3 +341,66 @@ def test_break_in_long_loop_falls_back_to_unroll():
     want = lp_normal(mu, 0.0) + lp_normal(y[:10], mu)
     got = float(m.logp(jnp.asarray([mu], jnp.float32), 1.0))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_integrate_1d():
+    src = """
+    functions {
+      real integrand(real x, real xc, array[] real theta,
+                     array[] real x_r, array[] int x_i) {
+        return exp(-theta[1] * x);
+      }
+    }
+    data { real b; real phi; }
+    parameters { real<lower=0> lam; }
+    model {
+      real I = integrate_1d(integrand, 0.0, b, {lam}, {0.0}, {0});
+      // exact: (1 - exp(-lam*b)) / lam
+      target += -0.5 * square(I * lam - (1 - exp(-lam * b)));
+      lam ~ normal(1, 1);
+    }
+    """
+    m = compile_stan_program(src, {"b": 2.0}, name="int1d")
+    # unconstrained u -> lam = exp(u); at the solution the penalty is 0,
+    # so logp = normal_lpdf(lam|1,1) + jacobian(u)
+    u = 0.3
+    lam = np.exp(u)
+    want = lp_normal(lam, 1.0) + u  # penalty term is exactly 0
+    got = float(m.logp(jnp.asarray([u], jnp.float32), 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    g = jax.grad(lambda t: m.logp(t, 1.0))(jnp.asarray([u], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_algebra_solver_newton():
+    src = """
+    functions {
+      vector sq_system(vector y, array[] real theta,
+                       array[] real x_r, array[] int x_i) {
+        vector[1] z;
+        z[1] = y[1] * y[1] - theta[1];
+        return z;
+      }
+    }
+    data { real phi; }
+    parameters { real<lower=0> a; }
+    model {
+      vector[1] guess = [1.0]';
+      vector[1] root = algebra_solver(sq_system, guess, {a}, {0.0}, {0});
+      // root = sqrt(a); tie the density to it
+      target += -0.5 * square(root[1] - 2.0);
+      a ~ normal(4, 2);
+    }
+    """
+    m = compile_stan_program(src, {}, name="algsolve")
+    u = float(np.log(4.0))  # a = 4 -> root = 2 -> penalty 0
+    want = lp_normal(4.0, 4.0, 2.0) + u
+    got = float(m.logp(jnp.asarray([u], jnp.float32), 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # gradient: d/du [-0.5 (sqrt(e^u) - 2)^2 + prior + u] finite & correct
+    g = float(jax.grad(lambda t: m.logp(t, 1.0))(
+        jnp.asarray([u], jnp.float32)
+    )[0])
+    # analytic: penalty'(u) = -(sqrt(a)-2) * 0.5*sqrt(a) = 0 at a=4;
+    # prior'(u) = -(a-4)/4 * a = 0; jacobian' = 1
+    np.testing.assert_allclose(g, 1.0, rtol=1e-3, atol=1e-3)
