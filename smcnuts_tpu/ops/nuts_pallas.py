@@ -1075,7 +1075,12 @@ def _simplify_call(fn, *args):
     def read(var):
         if isinstance(var, jax.extend.core.Literal):
             val = var.val
-            if np.ndim(val) == 0:
+            if np.ndim(val) == 0 and np.issubdtype(
+                np.asarray(val).dtype, np.floating
+            ):
+                # only FLOATING literals join the float-folding algebra;
+                # int/bool scalars keep their dtype (integer/logical
+                # primitives reject floats)
                 return float(val)
             return val
         return env[id(var)]
@@ -1112,9 +1117,12 @@ def _simplify_call(fn, *args):
         return v
 
     for cv, cval in zip(jaxpr.constvars, closed.consts):
-        env[id(cv)] = (
-            float(cval) if np.ndim(cval) == 0 else jnp.asarray(cval)
-        )
+        if np.ndim(cval) == 0 and np.issubdtype(
+            np.asarray(cval).dtype, np.floating
+        ):
+            env[id(cv)] = float(cval)
+        else:
+            env[id(cv)] = jnp.asarray(cval)
     for iv, aval in zip(jaxpr.invars, flat_args):
         env[id(iv)] = aval
 
@@ -1158,10 +1166,23 @@ def _simplify_call(fn, *args):
             conc(v, getattr(var, "aval", None))
             for v, var in zip(ins, eqn.invars)
         ]
+        # Call-like primitives can't re-bind generically (their bind
+        # signature threads callables, not params) — evaluate the inner
+        # jaxpr instead. Differentiation already happened inside the
+        # traced fn, so a remaining custom_jvp/vjp call is primal-only
+        # and its call_jaxpr IS its semantics here.
+        inner = None
         if eqn.primitive.name == "pjit":
+            inner = eqn.params["jaxpr"]
+        else:
+            for k in ("call_jaxpr", "fun_jaxpr"):
+                cj = eqn.params.get(k)
+                if cj is not None and hasattr(cj, "jaxpr"):
+                    inner = cj
+                    break
+        if inner is not None:
             results = jax.core.eval_jaxpr(
-                eqn.params["jaxpr"].jaxpr, eqn.params["jaxpr"].consts,
-                *bind_ins,
+                inner.jaxpr, inner.consts, *bind_ins
             )
         else:
             results = eqn.primitive.bind(*bind_ins, **eqn.params)

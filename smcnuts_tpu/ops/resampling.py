@@ -80,16 +80,13 @@ def _onehot_take_rows(oh, x):
     return out if x.ndim == 2 else out[:, 0]
 
 
-def multinomial_take_rows(key, wn, arrays):
-    """Resample each array in `arrays` (shape (N,) or (N, D)) by one shared
-    multinomial ancestor draw. Below the dense cutoff the gather runs as
-    the exact one-hot MXU matmul; above it, ancestors + jnp.take (the
-    (N, N) one-hot would not fit, and large gathers amortize)."""
-    n = wn.shape[0]
-    cdf = jnp.cumsum(wn)
-    u = jax.random.uniform(key, (n,), dtype=wn.dtype) * cdf[-1]
-    # bf16x3 carries exactly f32 mantissa width; float64 runs keep the
-    # gather (exactness first — the f64 path is a validation surface).
+def _take_rows_via_cdf(cdf, u, arrays):
+    """Gather rows by the inverse-CDF ancestors of queries `u`: the exact
+    one-hot MXU matmul below the dense cutoff (f32 only — bf16x3 carries
+    exactly the f32 mantissa width; float64 keeps the gather), ancestors +
+    jnp.take above it (the (N, N) one-hot would not fit, and large
+    gathers amortize)."""
+    n = cdf.shape[0]
     if n <= _DENSE_INVERT_MAX_N and all(
         a.dtype == jnp.float32 for a in arrays
     ):
@@ -97,6 +94,33 @@ def multinomial_take_rows(key, wn, arrays):
         return [_onehot_take_rows(oh, a) for a in arrays]
     ancestors = _invert_cdf(cdf, u)
     return [jnp.take(a, ancestors, axis=0) for a in arrays]
+
+
+def multinomial_take_rows(key, wn, arrays):
+    """Resample each array in `arrays` (shape (N,) or (N, D)) by one shared
+    multinomial ancestor draw (same key -> same choices as
+    multinomial_ancestors)."""
+    n = wn.shape[0]
+    cdf = jnp.cumsum(wn)
+    u = jax.random.uniform(key, (n,), dtype=wn.dtype) * cdf[-1]
+    return _take_rows_via_cdf(cdf, u, arrays)
+
+
+def systematic_take_rows(key, wn, arrays):
+    """Resample by one shared systematic ancestor draw (same key -> same
+    choices as systematic_ancestors)."""
+    n = wn.shape[0]
+    u = jax.random.uniform(key, ())
+    positions = ((jnp.arange(n) + u) / n).astype(wn.dtype)
+    cdf = jnp.cumsum(wn)
+    cdf = cdf / cdf[-1]
+    return _take_rows_via_cdf(cdf, positions, arrays)
+
+
+_SCHEME_TAKE_ROWS = {
+    "multinomial": multinomial_take_rows,
+    "systematic": systematic_take_rows,
+}
 
 
 def systematic_ancestors(key, wn):
@@ -140,13 +164,7 @@ def resample_if_required(key, x, logw, wn, log_likelihood, ess_val,
     n = x.shape[0]
 
     def _resampled(key, x, logw):
-        if scheme == "multinomial" and n <= _DENSE_INVERT_MAX_N and (
-            x.dtype == jnp.float32
-        ):
-            (x_res,) = multinomial_take_rows(key, wn, [x])
-        else:
-            ancestors = _SCHEMES[scheme](key, wn)
-            x_res = jnp.take(x, ancestors, axis=0)
+        (x_res,) = _SCHEME_TAKE_ROWS[scheme](key, wn, [x])
         logw_res = jnp.full(
             (n,), log_likelihood - jnp.log(n), dtype=logw.dtype
         )

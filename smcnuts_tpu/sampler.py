@@ -253,8 +253,10 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 nuts_batch_pallas_fused,
             )
 
-            seed = jax.random.randint(
-                k_nuts, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            # The kernel seed is a raw key word (already uniform) — one
+            # fewer threefry dispatch per iteration than randint.
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.key_data(k_nuts).ravel()[0], jnp.int32
             )
             # Off-TPU the kernel runs under the TPU-semantics interpreter so
             # the full pallas code path (incl. the shard_map wiring below) is

@@ -597,6 +597,17 @@ class _Interp:
                         f"[{iv.min()}, {iv.max()}] for dimension of size "
                         f"{size}"
                     )
+                if self.scalarize and ax == 0 and len(idxs) == 1 and (
+                    getattr(out, "ndim", 0) == 1
+                ):
+                    # Pallas tile bodies: the gather UNROLLS into
+                    # constant-index selections — jnp.take's index array
+                    # would become a captured i32 constant, which
+                    # pallas_call rejects, and the gather primitive
+                    # batches into a form Mosaic cannot lower.
+                    la = _LocalArray([int(iv.size)])
+                    la.data = [out[int(i) - 1] for i in iv]
+                    return la
                 out = jnp.take(jnp.asarray(out), jnp.asarray(iv - 1),
                                axis=ax)
                 ax += 1
@@ -606,10 +617,60 @@ class _Interp:
                 ) if ax else out[_require_int(i, "index") - 1]
         return out
 
+    _SCALARIZABLE_BINOPS = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        ".*": lambda a, b: a * b,
+        "./": lambda a, b: a / b,
+    }
+
+    def _binop_scalarized(self, op, lv, rv):
+        """Tile-body elementwise binop over containers kept PER ELEMENT
+        (None when not applicable): a _LocalArray operand must not stack —
+        the stacked (8, 128, T) tensor is the Mosaic compile killer the
+        scalarize mode exists to avoid, and `jnp.stack`'s concatenate
+        batches poorly under the lane vmap."""
+        if not (
+            isinstance(lv, _LocalArray) or isinstance(rv, _LocalArray)
+        ):
+            return None
+        f = self._SCALARIZABLE_BINOPS.get(op)
+        if f is None and op in ("*", "/"):
+            # linear-algebra `*` / `/` are elementwise only against a
+            # scalar operand
+            if self._seq_len1(lv) == 0 or self._seq_len1(rv) == 0:
+                f = (
+                    (lambda a, b: a * b) if op == "*"
+                    else (lambda a, b: a / b)
+                )
+            else:
+                return None
+        if f is None:
+            return None
+        ln, rn = self._seq_len1(lv), self._seq_len1(rv)
+        if ln is None or rn is None:
+            return None
+        n = max(ln, rn)
+        if n == 0 or (ln and rn and ln != rn):
+            return None
+        out = _LocalArray([n])
+        out.data = [
+            f(
+                _as_value(self._elem(lv, i)) if ln else _as_value(lv),
+                _as_value(self._elem(rv, i)) if rn else _as_value(rv),
+            )
+            for i in range(n)
+        ]
+        return out
+
     def _binop(self, node: Bin):
         op = node.op
         lv = self.ev(node.left)
         rv = self.ev(node.right)
+        if self.scalarize:
+            out = self._binop_scalarized(op, lv, rv)
+            if out is not None:
+                return out
         both_int = isinstance(lv, (int, np.integer)) and isinstance(
             rv, (int, np.integer)
         )
@@ -717,6 +778,8 @@ class _Interp:
     def _seq_len1(v):
         """Length of a rank-1 value, 0 for scalars, None if not
         scalarizable (rank >= 2 or partially-initialized reads raise)."""
+        if isinstance(v, tuple):
+            return None
         if isinstance(v, RowVector):
             v = v.data
         if isinstance(v, _LocalArray):
@@ -1147,6 +1210,23 @@ class _Interp:
             return jnp.stack(
                 [jnp.asarray(v, dtype=float) for v in vals]
             )
+        if name == "__tuple__":
+            # (a, b, ...) tuple expression: a Python tuple of values
+            # (orientation tags preserved per member)
+            return tuple(_as_value_oriented(v) for v in raw)
+        if name == "__tuple_get__":
+            base = raw[0]
+            k = _require_int(_as_value(raw[1]), "tuple index")
+            if not isinstance(base, tuple):
+                raise StanCompileError(
+                    f".{k} access on a non-tuple value"
+                )
+            if not 1 <= k <= len(base):
+                raise StanCompileError(
+                    f"tuple index .{k} out of range for a "
+                    f"{len(base)}-element tuple"
+                )
+            return base[k - 1]
         if name == "__rowvec__":
             # [a, b, c] matrix-expression literal: scalars -> row_vector;
             # row_vector elements -> matrix (rows). [..]' is then the
@@ -1464,6 +1544,11 @@ class _Interp:
             types = {}
             self.env["__types__"] = types
         types[s.name] = s.type
+        if s.type == "tuple":
+            self.env[s.name] = (
+                self.ev(s.init) if s.init is not None else None
+            )
+            return []
         if s.init is not None:
             val = self.ev(s.init)
             if s.type == "row_vector" and getattr(val, "ndim", 0) == 1:
@@ -1494,6 +1579,11 @@ class _Interp:
         if isinstance(s.lvalue, Var):
             self.env[s.lvalue.name] = val
             return
+        if not isinstance(s.lvalue, Index):
+            raise StanCompileError(
+                "unsupported assignment target (tuple-member assignment "
+                "t.1 = ... is not supported; rebuild the whole tuple)"
+            )
         # indexed assignment: resolve base container
         base_node, idx_nodes = s.lvalue.base, s.lvalue.indices
         if not isinstance(base_node, Var):
@@ -2246,6 +2336,11 @@ def _build_data_env(prog: Program, data: dict) -> tuple[dict, bool]:
     for decl in prog.blocks.get("data", []):
         if not isinstance(decl, Decl):
             raise StanCompileError("only declarations allowed in data block")
+        if decl.type == "tuple":
+            raise StanCompileError(
+                "tuple-typed data is not supported (pass the members as "
+                "separate data entries)"
+            )
         if decl.name == "phi":
             has_phi = True
             continue  # bound per-evaluation as the tempering argument
@@ -2470,6 +2565,11 @@ def compile_stan_program(source: str, data: dict, name: str = "stan",
         if not isinstance(decl, Decl):
             raise StanCompileError(
                 "only declarations allowed in parameters block"
+            )
+        if decl.type == "tuple":
+            raise StanCompileError(
+                "tuple-typed parameters are not supported (declare the "
+                "members as separate parameters)"
             )
         sizes = [
             _require_int(spec_interp.ev(d), "parameter dimension")

@@ -147,12 +147,13 @@ class Constraint:
 
 @dataclasses.dataclass
 class Decl:
-    type: str  # 'int' | 'real' | 'vector' | 'row_vector' | 'matrix'
+    type: str  # 'int' | 'real' | 'vector' | 'row_vector' | 'matrix' | 'tuple'
     name: str
     dims: list  # size exprs; [] for scalar (vector/matrix dims + array dims)
     constraint: Optional[Constraint]
     init: Any = None
     line: int = 0
+    subtypes: Any = None  # for 'tuple': [(member_type, [dim exprs]), ...]
 
 
 @dataclasses.dataclass
@@ -388,6 +389,8 @@ class _Parser:
     def _at_declaration(self) -> bool:
         if self.cur.text == "array":
             return True
+        if self.cur.text == "tuple" and self.peek().text == "(":
+            return True
         if self.cur.kind == "id" and self.cur.text in _CONSTRAINED_VEC_TYPES:
             return self.peek().text == "["
         if self.cur.kind == "id" and self.cur.text in _TYPE_NAMES:
@@ -531,6 +534,29 @@ class _Parser:
 
     def parse_declaration(self) -> Decl:
         line = self.cur.line
+        if self.cur.text == "tuple" and self.peek().text == "(":
+            # tuple(type1, type2, ...) name [= init];  (Stan 2.33 tuples;
+            # local/TP declarations — arrays of tuples and tuple-typed
+            # parameters/data are rejected by the compiler)
+            self.advance()
+            self.expect("(")
+            subtypes = [self._parse_tuple_member(line)]
+            while self.accept(","):
+                subtypes.append(self._parse_tuple_member(line))
+            self.expect(")")
+            name = self.advance()
+            if name.kind != "id":
+                raise StanSyntaxError(
+                    f"line {line}: expected variable name, got {name.text!r}"
+                )
+            init = None
+            if self.accept("="):
+                init = self.parse_expr()
+            self.expect(";")
+            return Decl(
+                type="tuple", name=name.text, dims=[], constraint=None,
+                init=init, line=line, subtypes=subtypes,
+            )
         array_dims = []
         if self.accept("array"):
             self.expect("[")
@@ -582,6 +608,25 @@ class _Parser:
             init=init,
             line=line,
         )
+
+    def _parse_tuple_member(self, line):
+        t = self.advance()
+        if t.text == "tuple":
+            raise StanSyntaxError(
+                f"line {line}: nested tuples are not supported"
+            )
+        if t.text not in _TYPE_NAMES + _CONSTRAINED_VEC_TYPES:
+            raise StanSyntaxError(
+                f"line {line}: unsupported tuple member type {t.text!r}"
+            )
+        dims = []
+        if self.cur.text == "[":
+            self.advance()
+            dims.append(self.parse_expr())
+            while self.accept(","):
+                dims.append(self.parse_expr())
+            self.expect("]")
+        return (t.text, dims)
 
     def parse_constraint(self) -> Optional[Constraint]:
         if self.cur.text != "<":
@@ -695,6 +740,15 @@ class _Parser:
             elif self.cur.text == "'":
                 self.advance()
                 node = Call("transpose", [node])
+            elif (
+                self.cur.kind == "real"
+                and self.cur.text.startswith(".")
+                and self.cur.text[1:].isdigit()
+            ):
+                # tuple member access t.1 (lexed as the real token '.1')
+                k = int(self.cur.text[1:])
+                self.advance()
+                node = Call("__tuple_get__", [node, Num(k, True)])
             else:
                 return node
 
@@ -709,6 +763,13 @@ class _Parser:
         if tok.text == "(":
             self.advance()
             expr = self.parse_expr()
+            if self.cur.text == ",":
+                # (a, b, ...) tuple expression (Stan 2.33)
+                elems = [expr]
+                while self.accept(","):
+                    elems.append(self.parse_expr())
+                self.expect(")")
+                return Call("__tuple__", elems)
             self.expect(")")
             return expr
         if tok.text in ("{", "["):

@@ -190,3 +190,40 @@ def test_multinomial_large_n_sort_path():
     corr = np.corrcoef(counts, np.asarray(wn) * n)[0, 1]
     assert corr > 0.5
     assert counts.sum() == n
+
+
+def test_onehot_take_rows_bitwise_equals_gather():
+    """The one-hot MXU-matmul resampling gather (bf16x3 split) must be
+    BITWISE equal to ancestors + jnp.take for both schemes (same key ->
+    same choices), for (N,) and (N, D) arrays."""
+    import jax
+
+    from smcnuts_tpu.ops.resampling import (
+        multinomial_ancestors,
+        multinomial_take_rows,
+        systematic_ancestors,
+        systematic_take_rows,
+    )
+
+    n, d = 257, 3
+    key = jax.random.key(7)
+    kx, kw, kr = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (n, d), jnp.float32)
+    v = jax.random.normal(kx, (n,), jnp.float32)
+    logw = jax.random.normal(kw, (n,))
+    wn = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+
+    anc = multinomial_ancestors(kr, wn)
+    x_r, v_r = multinomial_take_rows(kr, wn, [x, v])
+    np.testing.assert_array_equal(
+        np.asarray(x_r), np.asarray(jnp.take(x, anc, axis=0))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v_r), np.asarray(jnp.take(v, anc))
+    )
+
+    anc_s = systematic_ancestors(kr, wn)
+    (x_s,) = systematic_take_rows(kr, wn, [x])
+    np.testing.assert_array_equal(
+        np.asarray(x_s), np.asarray(jnp.take(x, anc_s, axis=0))
+    )

@@ -404,3 +404,68 @@ def test_algebra_solver_newton():
     # analytic: penalty'(u) = -(sqrt(a)-2) * 0.5*sqrt(a) = 0 at a=4;
     # prior'(u) = -(a-4)/4 * a = 0; jacobian' = 1
     np.testing.assert_allclose(g, 1.0, rtol=1e-3, atol=1e-3)
+
+
+def test_rowvec_regression_example_e2e():
+    """The committed row-vector regression example (the posteriordb
+    linear-regression idiom: array[N] row_vector[K] covariates with
+    x[n] * beta predictors) compiles and recovers its generating
+    parameters through the full sampler on the CPU sim."""
+    import os
+
+    import jax
+
+    from smcnuts_tpu import SMCConfig, run_smc
+    from smcnuts_tpu.stan import compile_stan_file
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    m = compile_stan_file(
+        os.path.join(root, "examples", "stan", "rowvec_regression.stan"),
+        data=os.path.join(
+            root, "examples", "stan", "rowvec_regression.json"
+        ),
+    )
+    cfg = SMCConfig(
+        n_particles=256, n_iterations=12, step_size=0.1,
+        tempering=True, max_tree_depth=6, save_history=False,
+    )
+    res = jax.jit(lambda k: run_smc(m, cfg, k))(jax.random.key(3))
+    mean = np.asarray(res.mean_estimate[-1])
+    # constrained order: alpha, beta[3], sigma, gq y_pred
+    assert abs(mean[0] - 0.8) < 0.3, mean
+    np.testing.assert_allclose(
+        mean[1:4], [1.2, -0.7, 0.4], atol=0.3
+    )
+    assert 0.3 < mean[4] < 0.8, mean
+
+
+def test_tuples():
+    """Stan 2.33 tuples: tuple(..) local declarations, (a, b) tuple
+    expressions, t.1 member access (incl. through user functions and
+    row-vector members)."""
+    src = """
+    data { real y; real phi; }
+    parameters { real a; real b; }
+    model {
+      tuple(real, vector[2]) t = (a * 2, [a, b]');
+      y ~ normal(t.1 + t.2[2], 1);
+      tuple(real, real) s;
+      s = (a + 1, b - 1);
+      target += -0.5 * square(s.1 * s.2);
+    }
+    """
+    m = compile_stan_program(src, {"y": 0.4}, name="tup")
+    a, b = 0.3, -0.2
+    want = (
+        lp_normal(0.4, 2 * a + b)
+        - 0.5 * ((a + 1) * (b - 1)) ** 2
+    )
+    got = float(m.logp(jnp.asarray([a, b], jnp.float32), 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # rejection: tuple-typed parameters/data fail loudly
+    with pytest.raises(StanCompileError):
+        compile_stan_program(
+            "parameters { tuple(real, real) t; } model { target += t.1; }",
+            {},
+        )
