@@ -1158,6 +1158,19 @@ def _simplify_call(fn, *args):
                     conc(a.base, eqn.invars[0].aval), **eqn.params
                 )
                 out = _scaled(a.c, summed)
+        elif name == "transpose":
+            # A permutation that only moves SIZE-1 axes is a pure reshape
+            # — Mosaic cannot legalize the tpu.transpose these batched
+            # vjp chains emit for (8, 128, 1)-style shapes, but lowers
+            # the equivalent reshape fine.
+            in_shape = eqn.invars[0].aval.shape
+            perm = eqn.params["permutation"]
+            non1 = [i for i in perm if in_shape[i] != 1]
+            if non1 == sorted(non1):
+                out = jnp.reshape(
+                    conc(ins[0], eqn.invars[0].aval),
+                    eqn.outvars[0].aval.shape,
+                )
         if out is not None:
             env[id(eqn.outvars[0])] = out
             continue

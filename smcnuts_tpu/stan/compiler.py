@@ -72,6 +72,7 @@ from .math import (
     RowVector,
     is_row,
     truncated_lp,
+    truncation_lognorm,
 )
 from .parser import (
     Assign,
@@ -868,6 +869,18 @@ class _Interp:
         def elem(v, ln, i):
             return _as_value(self._elem(v, i)) if ln else _as_value(v)
 
+        # Shared normalizer: when bounds and parameters are all scalar the
+        # log(F(hi) - F(lo)) term is identical across elements — hoist it
+        # (one evaluation per statement; with concrete values it folds to
+        # a literal before the Pallas trace, see truncation_lognorm).
+        shared_lnorm = None
+        if all(l == 0 for l in lens[1:]):
+            shared_lnorm = truncation_lognorm(
+                dist, [_as_value(v) for v in raw[1:]],
+                None if lo is None else _as_value(lo),
+                None if hi is None else _as_value(hi),
+            )
+
         nraw = len(raw)
         total = None
         for i in range(n):
@@ -879,7 +892,8 @@ class _Interp:
                 k += 1
             if hi is not None:
                 hi_i = elem(hi, lens[k], i)
-            term = truncated_lp(dist, args_i, lo_i, hi_i)
+            term = truncated_lp(dist, args_i, lo_i, hi_i,
+                                lnorm=shared_lnorm)
             total = term if total is None else total + term
         return total
 
@@ -2261,13 +2275,21 @@ class _ParamSpec:
             jac = jnp.full_like(jnp.asarray(u), float(np.log(mult)))
             return off + mult * u, jac
         if self.lower is not None and self.upper is not None:
+            # logistic via tanh and log-sigmoid via the stable softplus
+            # expansion: jax.nn.sigmoid/log_sigmoid trace to composites
+            # whose batched vjp emits ops Mosaic cannot legalize
+            # (tpu.transpose) inside Pallas tile bodies; tanh/exp/log1p
+            # are native. Same values to f32 ulps.
+            u_f = jnp.asarray(u, dtype=float)
             span = self.upper - self.lower
-            c = self.lower + span * jax.nn.sigmoid(u)
-            jac = (
-                jnp.log(span)
-                + jax.nn.log_sigmoid(u)
-                + jax.nn.log_sigmoid(-u)
-            )
+            c = self.lower + span * 0.5 * (jnp.tanh(0.5 * u_f) + 1.0)
+
+            def softplus(x):
+                return jnp.log1p(jnp.exp(-jnp.abs(x))) + jnp.maximum(
+                    x, 0.0
+                )
+
+            jac = jnp.log(span) - softplus(u_f) - softplus(-u_f)
             return c, jac
         if self.lower is not None:
             return self.lower + jnp.exp(u), u

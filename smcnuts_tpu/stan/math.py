@@ -517,13 +517,7 @@ DISCRETE_DISTRIBUTIONS = frozenset({
 })
 
 
-def truncated_lp(dist, args, lo=None, hi=None):
-    """Summed log-density of the truncated sampling statement
-    `y ~ dist(args) T[lo, hi]` (Stan reference manual, truncation chapter):
-    per element, lpdf(y) - log(F(hi) - F(lo)) inside the bounds and -inf
-    outside. `args` is [y, *params]; bounds broadcast like parameters and
-    may be traced (gradients flow through the CDFs at the bounds).
-    """
+def _check_truncatable(dist, lo, hi):
     if dist in DISCRETE_DISTRIBUTIONS:
         raise ValueError(
             f"truncation (T[,]) of the discrete distribution {dist!r} is "
@@ -544,32 +538,69 @@ def truncated_lp(dist, args, lo=None, hi=None):
             f"no CDF implemented for {dist!r}; truncation unavailable "
             f"(supported: {', '.join(sorted(ELEMENTWISE_LCDFS))})"
         )
-    bounds = [b for b in (lo, hi) if b is not None]
-    n = len(args)
-    all_b = jnp.broadcast_arrays(
-        *(jnp.asarray(a, dtype=float) for a in (*args, *bounds))
-    )
-    y, params, bnds = all_b[0], all_b[1:n], all_b[n:]
-    ll = density(y, *params)
-    in_range = jnp.ones(y.shape, bool)
-    i = 0
-    if lo is not None:
-        lo_b = bnds[i]
-        i += 1
-        in_range = jnp.logical_and(in_range, y >= lo_b)
-    if hi is not None:
-        hi_b = bnds[i]
-        in_range = jnp.logical_and(in_range, y <= hi_b)
+    return density, lcdf, lccdf
+
+
+def truncation_lognorm(dist, params, lo=None, hi=None):
+    """log(F(hi) - F(lo)) of a truncated sampling statement — involves
+    only bounds and parameters, NOT the outcome, so scalarized tile
+    bodies hoist it out of per-element loops (one evaluation per
+    statement), and with concrete bounds/params it folds to a constant
+    before the Pallas trace ever sees it. That fold is load-bearing: a
+    half-Cauchy `T[0,]` inside a kernel would otherwise trace an
+    in-kernel arctan, which Mosaic cannot lower (atan2)."""
+    _, lcdf, lccdf = _check_truncatable(dist, lo, hi)
+    if not any(
+        isinstance(v, jax.core.Tracer)
+        for v in (*params, lo, hi)
+        if v is not None
+    ):
+        # Concrete bounds/params: force the fold NOW — inside a trace,
+        # ops on constants are STAGED, not evaluated, and Mosaic cannot
+        # lower e.g. the Cauchy CDF's atan2 even on constants.
+        with jax.ensure_compile_time_eval():
+            return float(truncation_lognorm_traced(
+                dist, params, lo, hi
+            ))
+    return truncation_lognorm_traced(dist, params, lo, hi)
+
+
+def truncation_lognorm_traced(dist, params, lo=None, hi=None):
+    _, lcdf, lccdf = _check_truncatable(dist, lo, hi)
+    params = [jnp.asarray(a, dtype=float) for a in params]
     if lo is not None and hi is not None:
-        la = lcdf(hi_b, *params)
-        lb = lcdf(lo_b, *params)
-        lnorm = la + jnp.log(-jnp.expm1(lb - la))
-    elif lo is not None:
-        lnorm = lccdf(lo_b, *params)
-    elif hi is not None:
-        lnorm = lcdf(hi_b, *params)
-    else:
-        lnorm = 0.0
+        la = lcdf(jnp.asarray(hi, dtype=float), *params)
+        lb = lcdf(jnp.asarray(lo, dtype=float), *params)
+        return la + jnp.log(-jnp.expm1(lb - la))
+    if lo is not None:
+        return lccdf(jnp.asarray(lo, dtype=float), *params)
+    if hi is not None:
+        return lcdf(jnp.asarray(hi, dtype=float), *params)
+    return 0.0
+
+
+def truncated_lp(dist, args, lo=None, hi=None, lnorm=None):
+    """Summed log-density of the truncated sampling statement
+    `y ~ dist(args) T[lo, hi]` (Stan reference manual, truncation chapter):
+    per element, lpdf(y) - log(F(hi) - F(lo)) inside the bounds and -inf
+    outside. `args` is [y, *params]; bounds broadcast like parameters and
+    may be traced (gradients flow through the CDFs at the bounds).
+    `lnorm` may be precomputed via truncation_lognorm (scalarized tile
+    bodies hoist it).
+    """
+    density, _, _ = _check_truncatable(dist, lo, hi)
+    y = jnp.asarray(args[0], dtype=float)
+    params = [jnp.asarray(a, dtype=float) for a in args[1:]]
+    lo_b = None if lo is None else jnp.asarray(lo, dtype=float)
+    hi_b = None if hi is None else jnp.asarray(hi, dtype=float)
+    ll = density(y, *params)
+    in_range = jnp.broadcast_to(jnp.asarray(True), jnp.shape(ll))
+    if lo_b is not None:
+        in_range = jnp.logical_and(in_range, y >= lo_b)
+    if hi_b is not None:
+        in_range = jnp.logical_and(in_range, y <= hi_b)
+    if lnorm is None:
+        lnorm = truncation_lognorm(dist, args[1:], lo, hi)
     return jnp.sum(jnp.where(in_range, ll - lnorm, -jnp.inf))
 
 

@@ -105,9 +105,30 @@ def test_stochastic_volatility_tile_e2e():
         f"compile+run={wall:.1f}s mu={mu_mc:.2f} sigma={sig_mc:.2f} "
         f"ess={ess.mean():.0f}"
     )
-    # posterior recovery: mu within 1 of truth, sigma positive and sane
-    assert abs(mu_mc - mu_true) < 1.0, mu_mc
-    assert 0.05 < sig_mc < 1.5, sig_mc
+    # The T=40 SV posterior of mu is genuinely wide (its sd is O(1) with
+    # phi_ar ~ 0.9); the meaningful on-chip check is agreement with the
+    # XLA correctness-oracle backend at the same config, within the MC
+    # spread of the 8-run batches.
+    cfg_x = SMCConfig(
+        n_particles=512, n_iterations=30, step_size=0.05,
+        tempering=True, max_tree_depth=6, save_history=False,
+        nuts_backend="xla",
+    )
+    mean_x, ess_x, wall_x = _run_batch(m, cfg_x)
+    mu_x = mean_x[:, 0].mean()
+    sig_x = mean_x[:, 2].mean()
+    print(
+        f"SV xla oracle: compile+run={wall_x:.1f}s mu={mu_x:.2f} "
+        f"sigma={sig_x:.2f} ess={ess_x.mean():.0f}"
+    )
+    runs = mean.shape[0]
+    for col in (0, 2):
+        se = np.sqrt(
+            mean[:, col].var(ddof=1) / runs
+            + mean_x[:, col].var(ddof=1) / runs
+        )
+        delta = abs(mean[:, col].mean() - mean_x[:, col].mean())
+        assert delta <= 5.0 * se + 0.05, (col, delta, se)
     assert ess.mean() > 32
 
 
