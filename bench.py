@@ -57,48 +57,54 @@ MIN_CREDIBLE_S = 3 * RELAY_RTT_S
 
 
 def measure_tpu(model_name, step_size, adapt_target=None):
-    """Throughput over N_RUNS independent full SMC runs executed in ONE
-    device dispatch. A single dispatch over the axon relay carries ~25 ms of
-    host<->chip round-trip latency — more than the device time of one
-    reference-config run — so per-run wall time measures the link, not the
-    chip. Amortizing over a batch of runs inside one program reports what the
-    chip sustains (the production shape: many Monte-Carlo runs, as in the
-    reference's 25-run experiment driver). The batch is jax.vmap'd: the NUTS
-    kernel's custom_vmap rule collapses all runs into one multi-run kernel
-    launch per iteration."""
+    """Chip throughput over N_RUNS independent vmapped SMC runs at the
+    baseline config, measured as the K-vs-4K MARGINAL: the same program is
+    timed at K and 4K iterations (3 repeats each, fresh os.urandom keys,
+    host materialization) and the per-iteration device time is
+    (t_4K - t_K) / 3K — the fixed ~30-60 ms relay dispatch/transport floor
+    cancels in the difference. Through round 4 this benchmark reported
+    total wall time of the K=100 dispatch, which at ~75 ms of device work
+    UNDER-reported the chip by the floor (r4: 12.24M wall-rate = ~17.1M
+    marginal rate, same program); the marginal is the repo-wide timing
+    doctrine (CLAUDE.md, utils/timing.py) and is what `value` now reports.
+    `wall_s` (the old protocol's best K-dispatch time) is returned
+    alongside and published in the JSON for cross-round comparability.
+    The batch is jax.vmap'd: the NUTS kernel's custom_vmap rule collapses
+    all runs into one multi-run kernel launch per iteration."""
     from smcnuts_tpu import SMCConfig, run_smc
     from smcnuts_tpu.models import get_model
 
     model = get_model(model_name)
-    cfg = SMCConfig(
-        n_particles=N, n_iterations=K, step_size=step_size,
-        lkernel="forwardsLKernel", save_history=False,
-        adapt_step_size=adapt_target is not None,
-        adapt_mass_matrix=adapt_target is not None,
-        target_accept=adapt_target if adapt_target is not None else 0.8,
-    )
 
-    def one(key):
-        r = run_smc(model, cfg, key)
-        return r.mean_estimate[-1], r.ess[-1]
+    def batch(n_iters):
+        cfg = SMCConfig(
+            n_particles=N, n_iterations=n_iters, step_size=step_size,
+            lkernel="forwardsLKernel", save_history=False,
+            adapt_step_size=adapt_target is not None,
+            adapt_mass_matrix=adapt_target is not None,
+            target_accept=adapt_target if adapt_target is not None else 0.8,
+        )
 
-    f = jax.jit(jax.vmap(one))
-    best, _ = time_materialized(f, lambda: (fresh_keys(N_RUNS),), repeats=3)
-    if best < MIN_CREDIBLE_S:
-        # Re-measure with a 4x larger batch: if the first number was a
-        # transport artifact this one cannot also be, and if the chip really
-        # is that fast the bigger batch still reports it faithfully.
-        print(
-            f"# WARNING: {model_name} best={best * 1e3:.2f}ms is below the "
-            f"credibility floor ({MIN_CREDIBLE_S * 1e3:.0f}ms); re-measuring "
-            "with a 4x batch",
-            file=sys.stderr,
+        def one(key):
+            r = run_smc(model, cfg, key)
+            return r.mean_estimate[-1], r.ess[-1]
+
+        return jax.jit(jax.vmap(one))
+
+    f_k = batch(K)
+    best_k, _ = time_materialized(f_k, lambda: (fresh_keys(N_RUNS),),
+                                  repeats=3)
+    f_4k = batch(4 * K)
+    best_4k, _ = time_materialized(f_4k, lambda: (fresh_keys(N_RUNS),),
+                                   repeats=3)
+    marginal_per_iter = max(best_4k - best_k, 1e-9) / (3 * K)
+    if best_4k < MIN_CREDIBLE_S:
+        raise RuntimeError(
+            f"{model_name}: 4K-dispatch best={best_4k * 1e3:.1f}ms is below "
+            f"the credibility floor ({MIN_CREDIBLE_S * 1e3:.0f}ms) — "
+            "transport artifact, not a chip measurement"
         )
-        best4, _ = time_materialized(
-            f, lambda: (fresh_keys(4 * N_RUNS),), repeats=3
-        )
-        return 4 * N_RUNS * N * K / best4, best4
-    return N_RUNS * N * K / best, best
+    return N_RUNS * N / marginal_per_iter, best_k
 
 
 def measure_baseline():
@@ -125,8 +131,8 @@ def measure_baseline():
 
 def main():
     value, best = measure_tpu("arma", step_size=0.01)
-    print(f"# tpu arma: N={N} K={K} runs={N_RUNS} best={best:.3f}s",
-          file=sys.stderr)
+    print(f"# tpu arma: N={N} K={K} runs={N_RUNS} marginal-rate={value:.0f} "
+          f"wall_K={best:.3f}s", file=sys.stderr)
     try:
         prm_value, prm_best = measure_tpu("prmwcd", step_size=0.01)
         print(f"# tpu prmwcd: N={N} K={K} runs={N_RUNS} best={prm_best:.3f}s",
@@ -147,6 +153,14 @@ def main():
         "value": round(value, 1),
         "unit": "particle-iterations/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "protocol": (
+            "K-vs-4K marginal (dispatch floor cancels; repo timing "
+            "doctrine). r4 and earlier reported K-dispatch wall time "
+            "incl. the ~30-60ms relay floor: r4's 12.24M wall-rate "
+            "corresponds to ~17.1M marginal on the same (uncompacted) "
+            "program."
+        ),
+        "wall_rate_old_protocol": round(N_RUNS * N * K / best, 1),
     }
     if prm_value is not None:
         line["secondary"] = {

@@ -79,6 +79,16 @@ class SMCConfig:
     # the unfused kernel remain available as the correctness oracle;
     # cross-checks are statistical (different RNG stream).
     fused_epilogue: bool = True
+    # Pallas backend only: lane COMPACTION splits (VERDICT r4 #1) — tree
+    # doublings after which unfinished lanes are packed densely into the
+    # leading kernel blocks before a continuation kernel resumes them
+    # (ops/nuts_pallas.py `compaction`). Kills most of the measured 3.6-4.3x
+    # lockstep waste (each 1024-lane block walks its deepest lane's tree;
+    # compaction_sim_{arma,prmwcd}.json). "auto" uses the tile model's
+    # measured hint (arma (4,), PRMwCD (7, 8, 9)); None/() disables; a
+    # tuple of depths overrides. Splits >= max_tree_depth are pruned, so
+    # shallow-tree configs fall back to the single-kernel dispatch.
+    pallas_compaction: str | tuple | None = "auto"
 
     def __post_init__(self):
         if self.n_particles < 1:
@@ -112,6 +122,16 @@ class SMCConfig:
                 "cached_loglik_min_phi must be in [0, 1), got "
                 f"{self.cached_loglik_min_phi}"
             )
+        pc = self.pallas_compaction
+        if pc is not None and pc != "auto":
+            if not (
+                isinstance(pc, tuple)
+                and all(isinstance(s, int) and s >= 1 for s in pc)
+            ):
+                raise ValueError(
+                    "pallas_compaction must be 'auto', None, or a tuple of "
+                    f"positive ints, got {pc!r}"
+                )
         if not 0.0 < self.adapt_warmup_frac <= 1.0:
             raise ValueError(
                 "adapt_warmup_frac must be in (0, 1], got "

@@ -67,6 +67,13 @@ class TileModel:
     # in-kernel jax.jvp). Informational — lets callers/tests see which
     # strategy the Stan frontend's auto selection picked.
     autodiff: str = "hand"
+    # Default lane-compaction split depths for this model (used when
+    # SMCConfig.pallas_compaction == "auto"): tree-depth boundaries after
+    # which unfinished lanes are packed densely across blocks. Chosen from
+    # the measured equilibrium depth distribution (experiments/
+    # compaction_sim.py); () = no compaction (safe for any model — the
+    # single-kernel dispatch).
+    compaction_hint: tuple = ()
 
 
 def _popcount_scalar(v, bits=13):
@@ -100,20 +107,89 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
+def _cont_layout(D):
+    """Column index map of the continuation bundle a compaction stage
+    transfers between kernels (VERDICT r4 #1): every per-lane carrier of the
+    doubling loop plus the start-state values the final epilogue needs, one
+    (8, 128) f32 tile row per column — 11*D + 13 columns. Keeping the
+    bundle ONE array in the kernel-native (C, nblk, 8, 128) layout lets the
+    XLA glue compact lanes with a single axis-1 gather (reshape to
+    (C, n_pad), take along the flat particle axis) and feed the next stage
+    without any transposes (measured: the (n_pad, 56) transpose costs
+    ~44 us on v5e — 3x the gather itself — while reshape is free)."""
+    idx = {}
+    c = 0
+    for nm in ("xm", "rm", "gm", "xp", "rp", "gp", "xs", "rs", "x0", "r0",
+               "im"):
+        idx[nm] = c
+        c += D
+    for nm in ("lps", "n", "logu", "H0", "logp0", "ke0", "alpha_sum",
+               "alpha_cnt", "lf_cnt", "depth_done", "stopf", "phi", "eps"):
+        idx[nm] = c
+        c += 1
+    return idx, c
+
+
+def _epi_layout(D):
+    """Column index map of the bundled epilogue output on the compacted
+    path: one (C2, nblk, 8, 128) array so a single axis-1 gather
+    un-permutes every output back to original lane order at once."""
+    idx = {}
+    c = 0
+    for nm in ("x", "r"):
+        idx[nm] = c
+        c += D
+    for nm in ("logp0", "lp", "astat", "depth", "leaf", "dh", "ke0",
+               "moved"):
+        idx[nm] = c
+        c += 1
+    return idx, c
+
+
 def _nuts_kernel(
-    seed_ref, nvalid_ref, phi_ref, eps_ref, im_ref, x_ref, *rest,
+    *refs,
     tile_fn, D, max_depth, n_extra, n_per_run, n_runs,
     draw_momentum=False, acc_rej=False,
+    start_depth=0, stop_depth=None, cont_in=False, cont_out=False,
 ):
-    if draw_momentum:
+    """One NUTS tree-construction stage.
+
+    The classic single-kernel form (cont_in=cont_out=False) builds whole
+    trees: prologue (momentum draw, model eval, slice draw), doubling loop
+    over depths 0..max_depth, SMC epilogue. With lane COMPACTION (VERDICT
+    r4 #1) the tree is split at doubling boundaries: a stage runs doublings
+    start_depth..stop_depth and the XLA glue between stages packs the
+    unfinished lanes densely into the leading blocks (the finished majority
+    would otherwise idle while their block walks its deepest lane's tree —
+    measured 4.3x lockstep waste on arma, experiments/output/
+    compaction_sim_arma.json). All survivors sit at the same tree depth at
+    a boundary (the lockstep walk is depth-synchronous), so the
+    continuation is uniform: stage j+1 starts every lane at depth
+    stop_depth+1 with the carriers read from the continuation bundle.
+
+    Ref layout: stage 0 takes (seed, nvalid, phi, eps, im, x[, r], *extra,
+    *outs, ck_x, ck_r); continuation stages take (seed, cont, *extra,
+    *outs, ck_x, ck_r) with per-lane parameters riding the bundle.
+    Outputs: cont_out -> the (C, 1, 8, 128) bundle; otherwise the epilogue
+    (separate refs on the classic path, one bundled array on the compacted
+    path)."""
+    if stop_depth is None:
+        stop_depth = max_depth
+    if cont_in:
+        seed_ref, cont_ref = refs[0], refs[1]
+        rest = refs[2:]
         r_ref = None
-        rest_idx = 0
     else:
-        r_ref = rest[0]
-        rest_idx = 1
-    extra_refs = rest[rest_idx:rest_idx + n_extra]
-    (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
-     dh_out, ke0_out, moved_out, ck_x, ck_r) = rest[rest_idx + n_extra:]
+        (seed_ref, nvalid_ref, phi_ref, eps_ref, im_ref, x_ref) = refs[:6]
+        rest = refs[6:]
+        if draw_momentum:
+            r_ref = None
+        else:
+            r_ref = rest[0]
+            rest = rest[1:]
+    extra_refs = rest[:n_extra]
+    outs = rest[n_extra:-2]
+    ck_x, ck_r = rest[-2:]
 
     # Grid is (nblk,) over a FLAT particle axis: batched SMC runs (jax.vmap
     # Monte-Carlo replicas) are concatenated along it, so blocks pack full —
@@ -123,86 +199,141 @@ def _nuts_kernel(
     # (phi, step size, inverse mass) therefore arrive as PER-LANE tiles;
     # every use below is elementwise, so mixed-run blocks are exact.
     blk = pl.program_id(0)
-    # Stream decorrelation: one PRNG stream per block, seeded from EVERY run
-    # whose particles can land in this block (a block spanning two runs must
-    # respond to either run's seed — seeding from run0 alone would silently
-    # ignore the second run's seed; ADVICE r1). The count of runs per block
-    # is a static bound, so the mix is straight-line scalar code. For a
-    # single-block-aligned run (B=1, or N a multiple of the 1024-lane block)
-    # this reduces to the historical seed + blk * 1000003 stream.
-    run0 = (blk * jnp.int32(_BLOCK)) // jnp.int32(n_per_run)
-    if n_per_run % _BLOCK == 0:
-        max_runs_in_block = 1
-    else:
-        max_runs_in_block = min(n_runs, (_BLOCK - 1) // n_per_run + 2)
-    if max_runs_in_block == 1:
-        pltpu.prng_seed(seed_ref[run0] + blk * jnp.int32(1000003))
-    else:
-        # Mosaic's tpu.prng_set_seed_32 accepts AT MOST TWO scalar values,
-        # so the seeds of every covered run are folded into one 32-bit
-        # polynomial hash (wrapping int32 arithmetic) — each run's seed
-        # still perturbs the block's stream — and the block id is the
-        # second value.
-        last = jnp.int32(n_runs - 1)
-        mixed = jnp.int32(0)
-        for j in range(max_runs_in_block):
-            mixed = mixed * jnp.int32(65599) + seed_ref[
-                jnp.minimum(run0 + jnp.int32(j), last)
-            ]
-        pltpu.prng_seed(mixed, blk * jnp.int32(1000003))
-    phi = phi_ref[0]
-    eps = eps_ref[0]
-    # Diagonal inverse mass matrix (identity in the reference, nuts.py:67):
-    # kinetic energy 0.5 r^T M^{-1} r, drift x += eps * M^{-1} r, U-turn
-    # criterion on velocities M^{-1} r — same math as ops/nuts.py.
-    im = [im_ref[0, d] for d in range(D)]
-
     shape = (_SUBLANES, _LANES)
+    if cont_in:
+        # Continuation stage: compaction has moved lanes across runs and
+        # blocks, so the per-run seed mix is meaningless here. The XLA glue
+        # folds ALL run seeds into one scalar (every run's seed still
+        # perturbs every stream) and the stage start depth salts it so
+        # stages draw distinct streams.
+        pltpu.prng_seed(
+            seed_ref[0] + jnp.int32(start_depth * 7919),
+            blk * jnp.int32(1000003),
+        )
+        CIDX, _ = _cont_layout(D)
 
-    def model(x_tiles):
-        return tile_fn(extra_refs, x_tiles, phi)
+        def cread(nm, k=0):
+            return cont_ref[CIDX[nm] + k, 0]
 
-    x0 = [x_ref[0, d] for d in range(D)]
-    if draw_momentum:
-        # Fused-epilogue mode: momenta r0 ~ N(0, M) with M = diag(1/im)
-        # drawn by the in-kernel TPU PRNG (std = rsqrt(im)) — the host-side
-        # threefry draw, its HBM round trip, and the momentum-density XLA
-        # ops all disappear (VERDICT r3 #1).
-        r0 = [_normal(shape) * jax.lax.rsqrt(im[d]) for d in range(D)]
+        phi = cread("phi")
+        eps = cread("eps")
+        im = [cread("im", d) for d in range(D)]
+
+        def model(x_tiles):
+            return tile_fn(extra_refs, x_tiles, phi)
+
+        x0 = [cread("x0", d) for d in range(D)]
+        r0 = [cread("r0", d) for d in range(D)]
+        f0 = x0[0] * 0.0
+
+        def ke(r_tiles):
+            acc = f0
+            for d in range(D):
+                acc = acc + im[d] * r_tiles[d] * r_tiles[d]
+            return 0.5 * acc
+
+        logp0 = cread("logp0")
+        ke0 = cread("ke0")
+        H0 = cread("H0")
+        logu = cread("logu")
+        xm = [cread("xm", d) for d in range(D)]
+        rm = [cread("rm", d) for d in range(D)]
+        gm = [cread("gm", d) for d in range(D)]
+        xp = [cread("xp", d) for d in range(D)]
+        rp = [cread("rp", d) for d in range(D)]
+        gp = [cread("gp", d) for d in range(D)]
+        xs = [cread("xs", d) for d in range(D)]
+        rs = [cread("rs", d) for d in range(D)]
+        lps = cread("lps")
+        n = cread("n")
+        stopf = cread("stopf")
+        alpha_sum = cread("alpha_sum")
+        alpha_cnt = cread("alpha_cnt")
+        lf_cnt = cread("lf_cnt")
+        depth_done = cread("depth_done")
     else:
-        r0 = [r_ref[0, d] for d in range(D)]
-    # Materialized zero tile: splat-constant zeros get a replicated vector
-    # layout in Mosaic, which cannot be carried through while loops whose
-    # bodies produce materialized layouts ("Invalid relayout" otherwise).
-    f0 = x0[0] * 0.0
+        # Stream decorrelation: one PRNG stream per block, seeded from EVERY
+        # run whose particles can land in this block (a block spanning two
+        # runs must respond to either run's seed — seeding from run0 alone
+        # would silently ignore the second run's seed; ADVICE r1). The count
+        # of runs per block is a static bound, so the mix is straight-line
+        # scalar code. For a single-block-aligned run (B=1, or N a multiple
+        # of the 1024-lane block) this reduces to the historical
+        # seed + blk * 1000003 stream.
+        run0 = (blk * jnp.int32(_BLOCK)) // jnp.int32(n_per_run)
+        if n_per_run % _BLOCK == 0:
+            max_runs_in_block = 1
+        else:
+            max_runs_in_block = min(n_runs, (_BLOCK - 1) // n_per_run + 2)
+        if max_runs_in_block == 1:
+            pltpu.prng_seed(seed_ref[run0] + blk * jnp.int32(1000003))
+        else:
+            # Mosaic's tpu.prng_set_seed_32 accepts AT MOST TWO scalar
+            # values, so the seeds of every covered run are folded into one
+            # 32-bit polynomial hash (wrapping int32 arithmetic) — each
+            # run's seed still perturbs the block's stream — and the block
+            # id is the second value.
+            last = jnp.int32(n_runs - 1)
+            mixed = jnp.int32(0)
+            for j in range(max_runs_in_block):
+                mixed = mixed * jnp.int32(65599) + seed_ref[
+                    jnp.minimum(run0 + jnp.int32(j), last)
+                ]
+            pltpu.prng_seed(mixed, blk * jnp.int32(1000003))
+        phi = phi_ref[0]
+        eps = eps_ref[0]
+        # Diagonal inverse mass matrix (identity in the reference,
+        # nuts.py:67): kinetic energy 0.5 r^T M^{-1} r, drift
+        # x += eps * M^{-1} r, U-turn criterion on velocities M^{-1} r —
+        # same math as ops/nuts.py.
+        im = [im_ref[0, d] for d in range(D)]
 
-    def ke(r_tiles):
-        acc = f0
-        for d in range(D):
-            acc = acc + im[d] * r_tiles[d] * r_tiles[d]
-        return 0.5 * acc
-    logp0, g0 = model(x0)
-    ke0 = ke(r0)
-    H0 = logp0 - ke0
-    logu = H0 - (-jnp.log(_uniform(shape)))
+        def model(x_tiles):
+            return tile_fn(extra_refs, x_tiles, phi)
 
-    xm, rm, gm = list(x0), list(r0), list(g0)
-    xp, rp, gp = list(x0), list(r0), list(g0)
-    xs, rs = list(x0), list(r0)
-    lps = logp0
-    n = f0 + 1.0
-    # Padding lanes (particle index >= N) start stopped so they never force
-    # extra leaf-loop trips for their block.
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    pidx = blk * jnp.int32(_BLOCK) + row * jnp.int32(_LANES) + col
-    # Stop state carried as f32 (1.0 = stopped): Mosaic cannot carry i1
-    # vectors through scf.while.
-    stopf = jnp.where(pidx >= nvalid_ref[0], f0 + 1.0, f0)
-    alpha_sum = f0
-    alpha_cnt = f0
-    lf_cnt = f0
-    depth_done = f0
+        x0 = [x_ref[0, d] for d in range(D)]
+        if draw_momentum:
+            # Fused-epilogue mode: momenta r0 ~ N(0, M) with M = diag(1/im)
+            # drawn by the in-kernel TPU PRNG (std = rsqrt(im)) — the
+            # host-side threefry draw, its HBM round trip, and the
+            # momentum-density XLA ops all disappear (VERDICT r3 #1).
+            r0 = [_normal(shape) * jax.lax.rsqrt(im[d]) for d in range(D)]
+        else:
+            r0 = [r_ref[0, d] for d in range(D)]
+        # Materialized zero tile: splat-constant zeros get a replicated
+        # vector layout in Mosaic, which cannot be carried through while
+        # loops whose bodies produce materialized layouts ("Invalid
+        # relayout" otherwise).
+        f0 = x0[0] * 0.0
+
+        def ke(r_tiles):
+            acc = f0
+            for d in range(D):
+                acc = acc + im[d] * r_tiles[d] * r_tiles[d]
+            return 0.5 * acc
+
+        logp0, g0 = model(x0)
+        ke0 = ke(r0)
+        H0 = logp0 - ke0
+        logu = H0 - (-jnp.log(_uniform(shape)))
+
+        xm, rm, gm = list(x0), list(r0), list(g0)
+        xp, rp, gp = list(x0), list(r0), list(g0)
+        xs, rs = list(x0), list(r0)
+        lps = logp0
+        n = f0 + 1.0
+        # Padding lanes (particle index >= N) start stopped so they never
+        # force extra leaf-loop trips for their block.
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        pidx = blk * jnp.int32(_BLOCK) + row * jnp.int32(_LANES) + col
+        # Stop state carried as f32 (1.0 = stopped): Mosaic cannot carry i1
+        # vectors through scf.while.
+        stopf = jnp.where(pidx >= nvalid_ref[0], f0 + 1.0, f0)
+        alpha_sum = f0
+        alpha_cnt = f0
+        lf_cnt = f0
+        depth_done = f0
 
     # Doubling loop with early exit: once every lane of the block has
     # stopped (U-turn/divergence), remaining depths are skipped instead of
@@ -211,7 +342,7 @@ def _nuts_kernel(
     # the useful ones at warm equilibrium).
     def tree_cond(c):
         depth, stopf = c[0], c[1]
-        return (depth <= max_depth) & jnp.any(stopf < 0.5)
+        return (depth <= stop_depth) & jnp.any(stopf < 0.5)
 
     def tree_body(c):
         (depth, stopf, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
@@ -279,7 +410,10 @@ def _nuts_kernel(
                     )
 
             turned = f0 > 1.0
-            for slot in range(max_depth + 1):
+            # Checkpoint slots used within a doubling at depth d are <= d,
+            # and this stage walks depths <= stop_depth — shallower stages
+            # skip the dead upper slots' masked compares entirely.
+            for slot in range(stop_depth + 1):
                 in_range = (
                     jnp.logical_not(is_even)
                     & (slot >= idx_min)
@@ -350,12 +484,38 @@ def _nuts_kernel(
         return (depth + 1, stopf, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
                 alpha_sum, alpha_cnt, lf_cnt, depth_done)
 
-    (_, _, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
+    # Carried stop state only matters while lanes may still run: a
+    # non-final stage's surviving lanes continue in the next stage, so the
+    # while-loop's stopf is what gets exported (padding/finished lanes ride
+    # with stopf = 1.0 and sort to the back at the compaction boundary).
+    (_, stopf, xm, rm, gm, xp, rp, gp, xs, rs, lps, n,
      alpha_sum, alpha_cnt, lf_cnt, depth_done) = lax.while_loop(
         tree_cond, tree_body,
-        (jnp.zeros((), jnp.int32), stopf, xm, rm, gm, xp, rp, gp, xs, rs,
+        (jnp.int32(start_depth), stopf, xm, rm, gm, xp, rp, gp, xs, rs,
          lps, n, alpha_sum, alpha_cnt, lf_cnt, depth_done),
     )
+
+    if cont_out:
+        # Non-final stage: export the continuation bundle; the epilogue
+        # (incl. the accept-reject draw) runs EXACTLY ONCE, in the final
+        # stage, so no output here may consume randomness on behalf of a
+        # finished lane.
+        CIDX_O, _ = _cont_layout(D)
+        co = outs[0]
+        groups = {"xm": xm, "rm": rm, "gm": gm, "xp": xp, "rp": rp,
+                  "gp": gp, "xs": xs, "rs": rs, "x0": x0, "r0": r0,
+                  "im": im}
+        for nm, vals in groups.items():
+            for d in range(D):
+                co[CIDX_O[nm] + d, 0] = vals[d]
+        scalars = {"lps": lps, "n": n, "logu": logu, "H0": H0,
+                   "logp0": logp0, "ke0": ke0, "alpha_sum": alpha_sum,
+                   "alpha_cnt": alpha_cnt, "lf_cnt": lf_cnt,
+                   "depth_done": depth_done, "stopf": stopf,
+                   "phi": phi, "eps": eps}
+        for nm, val in scalars.items():
+            co[CIDX_O[nm], 0] = val
+        return
 
     # SMC-iteration epilogue, fused in-kernel: Hamiltonian difference of the
     # selected leaf vs the start state. For the forwards-L-kernel weight
@@ -380,14 +540,31 @@ def _nuts_kernel(
     moved = f0 + 1.0
     for d in range(D):
         moved = moved * jnp.where(xs[d] != x0[d], 1.0, 0.0)
+    astat = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
+    leaf_total = lf_cnt + 1.0
+    if cont_in:
+        # Compacted path: ONE bundled output so the glue un-permutes all
+        # outputs with a single axis-1 gather.
+        EIDX, _ = _epi_layout(D)
+        eo = outs[0]
+        for d in range(D):
+            eo[EIDX["x"] + d, 0] = xs[d]
+            eo[EIDX["r"] + d, 0] = rs[d]
+        for nm, val in (("logp0", logp0), ("lp", lps), ("astat", astat),
+                        ("depth", depth_done), ("leaf", leaf_total),
+                        ("dh", dh), ("ke0", ke0), ("moved", moved)):
+            eo[EIDX[nm], 0] = val
+        return
+    (x_out, r_out, logp0_out, lp_out, astat_out, depth_out, leaf_out,
+     dh_out, ke0_out, moved_out) = outs
     for d in range(D):
         x_out[0, d] = xs[d]
         r_out[0, d] = rs[d]
     logp0_out[0] = logp0
     lp_out[0] = lps
-    astat_out[0] = alpha_sum / jnp.maximum(alpha_cnt, 1.0)
+    astat_out[0] = astat
     depth_out[0] = depth_done
-    leaf_out[0] = lf_cnt + 1.0
+    leaf_out[0] = leaf_total
     dh_out[0] = dh
     ke0_out[0] = ke0
     moved_out[0] = moved
@@ -395,7 +572,8 @@ def _nuts_kernel(
 
 def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
                          inv_mass, max_depth, interpret,
-                         draw_momentum=False, acc_rej=False):
+                         draw_momentum=False, acc_rej=False,
+                         compaction=()):
     """Batched core: x, r are (B, N, D); seed (B,) int32; step_size, phi
     (B,) f32; inv_mass (B, D) f32. With `draw_momentum` the momenta are
     drawn in-kernel (pass r=None); with `acc_rej` the asymptotic MH
@@ -409,6 +587,25 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
     full blocks (13). Run-level parameters become per-lane tiles; every use
     in the kernel is elementwise, so blocks holding particles of two runs
     compute each lane under its own run's (phi, step size, inverse mass).
+
+    `compaction` (VERDICT r4 #1): doubling depths after which the tree
+    build pauses and the UNFINISHED lanes are packed densely into the
+    leading blocks before a continuation kernel resumes them. Most
+    particles finish shallow (arma: mean depth 3.7, but each 1024-lane
+    block walks its deepest lane's tree — measured 4.3x lockstep waste);
+    after doubling 4 only ~16% of lanes survive, so the deep doublings run
+    on 2 blocks instead of 13 (compaction_sim_arma.json: 2.23x fewer
+    block-leaves at splits=(4,)). The glue per boundary is one stable
+    argsort of the finished flag (~3 us at the bench shape), one axis-1
+    gather of the (11D+13)-column continuation bundle (~15 us), and one
+    composed inverse gather of the bundled epilogue at the end — all
+    measured in experiments/bench_gather.py. Lane permutations never leak:
+    outputs return in original lane order, so batched multi-run packing is
+    unaffected. The continuation stages draw fresh PRNG streams (compacted
+    lanes change blocks), so — like every other RNG realization change on
+    this kernel — cross-checks against the unstaged kernel are statistical;
+    under the interpreter's stubbed PRNG both paths are deterministic and
+    bitwise equal (tested).
     """
     D = tile_model.dim
     B, n = x.shape[0], x.shape[1]
@@ -465,8 +662,7 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         (nblk, D, _SUBLANES, _LANES), jnp.float32
     )
 
-    kernel = partial(
-        _nuts_kernel,
+    common = dict(
         tile_fn=tile_model.tile_fn,
         D=D,
         max_depth=max_depth,
@@ -476,6 +672,7 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         draw_momentum=draw_momentum,
         acc_rej=acc_rej,
     )
+    kernel = partial(_nuts_kernel, **common)
 
     inputs = [seed_arr, nvalid_arr, phi_t, eps_t, im_t, x_t]
     in_specs = [
@@ -494,36 +691,29 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         pl.BlockSpec(memory_space=pltpu.SMEM) for _ in tile_model.extra
     )
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nblk,),
-        in_specs=in_specs,
-        out_specs=[
-            tile_spec, tile_spec, flat_spec, flat_spec, flat_spec,
-            flat_spec, flat_spec, flat_spec, flat_spec, flat_spec,
-        ],
-        out_shape=[
-            tile_shape, tile_shape, flat_shape, flat_shape, flat_shape,
-            flat_shape, flat_shape, flat_shape, flat_shape, flat_shape,
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((max_depth + 1, D, _SUBLANES, _LANES), jnp.float32),
-            pltpu.VMEM((max_depth + 1, D, _SUBLANES, _LANES), jnp.float32),
-        ],
-        # Raise the scoped-vmem ceiling from the 16 MB default toward the
-        # chip's 128 MB: hand tile models need little, but the generic
-        # adapter (tile_model_from_logp) holds a model body's unrolled VJP
-        # residuals on the kernel stack (measured 38 MB for a T=40
-        # recurrence).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        # TPU-semantics interpreter (supports the TPU PRNG primitives).
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(*inputs)
+    # Raise the scoped-vmem ceiling from the 16 MB default toward the
+    # chip's 128 MB: hand tile models need little, but the generic
+    # adapter (tile_model_from_logp) holds a model body's unrolled VJP
+    # residuals on the kernel stack (measured 38 MB for a T=40
+    # recurrence).
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # TPU-semantics interpreter (supports the TPU PRNG primitives).
+    imode = pltpu.InterpretParams() if interpret else False
 
-    (x_new_t, r_new_t, lp0, lp, astat, depth, leaps, dh, ke0,
-     moved) = outs
+    def ck_scratch(n_slots):
+        return [
+            pltpu.VMEM((n_slots, D, _SUBLANES, _LANES), jnp.float32),
+            pltpu.VMEM((n_slots, D, _SUBLANES, _LANES), jnp.float32),
+        ]
+
+    splits = tuple(
+        sorted({int(s) for s in (compaction or ()) if 0 < int(s) < max_depth})
+    )
+    if nblk == 1:
+        # Compaction packs lanes ACROSS blocks; within a single block the
+        # permutation changes nothing about the lockstep walk — pure glue
+        # overhead. Fall through to the single-kernel dispatch.
+        splits = ()
 
     def from_tiles(a):
         flat = a.transpose(1, 0, 2, 3).reshape(D, n_pad).T[:total]
@@ -532,27 +722,160 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
     def from_flat(a):
         return a.reshape(n_pad)[:total].reshape(B, n)
 
+    if not splits:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=in_specs,
+            out_specs=[
+                tile_spec, tile_spec, flat_spec, flat_spec, flat_spec,
+                flat_spec, flat_spec, flat_spec, flat_spec, flat_spec,
+            ],
+            out_shape=[
+                tile_shape, tile_shape, flat_shape, flat_shape, flat_shape,
+                flat_shape, flat_shape, flat_shape, flat_shape, flat_shape,
+            ],
+            scratch_shapes=ck_scratch(max_depth + 1),
+            compiler_params=cparams,
+            interpret=imode,
+        )(*inputs)
+
+        (x_new_t, r_new_t, lp0, lp, astat, depth, leaps, dh, ke0,
+         moved) = outs
+
+        stats = {
+            "logp0": from_flat(lp0),
+            "logp_prop": from_flat(lp),
+            "accept_stat": from_flat(astat),
+            "depth": from_flat(depth),
+            "leapfrogs": from_flat(leaps),
+            # Fused-epilogue outputs: dh = H(selected) - H(start) BEFORE any
+            # accept-reject (the weight increment of the forwards-L-kernel
+            # non-tempered path); ke0 = kinetic energy of the start momentum
+            # (recovers q(r0) up to the mass-matrix constant); moved = 1.0
+            # iff the particle changed in every dimension (acceptance-rate
+            # numerator, post accept-reject when acc_rej).
+            "delta_h": from_flat(dh),
+            "ke0": from_flat(ke0),
+            "moved": from_flat(moved),
+        }
+        return from_tiles(x_new_t), from_tiles(r_new_t), stats
+
+    # ---- compacted multi-stage dispatch ----
+    CIDX, C = _cont_layout(D)
+    EIDX, C2 = _epi_layout(D)
+    cont_spec = pl.BlockSpec(
+        (C, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cont_shape = jax.ShapeDtypeStruct(
+        (C, nblk, _SUBLANES, _LANES), jnp.float32
+    )
+    epi_spec = pl.BlockSpec(
+        (C2, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    epi_shape = jax.ShapeDtypeStruct(
+        (C2, nblk, _SUBLANES, _LANES), jnp.float32
+    )
+
+    # Stage 0: prologue + doublings 0..splits[0], continuation bundle out.
+    cont = pl.pallas_call(
+        partial(_nuts_kernel, **common, stop_depth=splits[0],
+                cont_out=True),
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=[cont_spec],
+        out_shape=[cont_shape],
+        scratch_shapes=ck_scratch(splits[0] + 1),
+        compiler_params=cparams,
+        interpret=imode,
+    )(*inputs)[0]
+
+    # One scalar seed for the continuation stages: compaction moves lanes
+    # across runs/blocks, so the per-run block mix no longer applies — fold
+    # every run's seed into one wrapping polynomial hash (each still
+    # perturbs every stream) and let the stage start-depth salt in-kernel.
+    w = np.empty(B, np.uint32)
+    acc_w = 1
+    for j in range(B - 1, -1, -1):
+        w[j] = acc_w
+        acc_w = (acc_w * 65599) % (1 << 32)
+    mixed = (seed_arr.astype(jnp.uint32) * jnp.asarray(w)).sum(
+        dtype=jnp.uint32
+    )
+    seed2 = jax.lax.bitcast_convert_type(mixed, jnp.int32).reshape(1)
+
+    extra_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM) for _ in tile_model.extra
+    ]
+    cont_in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # folded seed (1,)
+        cont_spec,
+    ] + extra_specs
+
+    perm_total = None
+    ebundle = None
+    for j, s in enumerate(splits):
+        start = s + 1
+        is_final = j + 1 == len(splits)
+        stop = max_depth if is_final else splits[j + 1]
+        flat = cont.reshape(C, n_pad)
+        # Stable sort of the finished flag: survivors (0.0) pack to the
+        # front in original order, finished + padding lanes to the back.
+        perm = jnp.argsort(flat[CIDX["stopf"]], stable=True).astype(
+            jnp.int32
+        )
+        perm_total = (
+            perm if perm_total is None else jnp.take(perm_total, perm)
+        )
+        cont_c = jnp.take(flat, perm, axis=1).reshape(
+            C, nblk, _SUBLANES, _LANES
+        )
+        stage = pl.pallas_call(
+            partial(_nuts_kernel, **common, start_depth=start,
+                    stop_depth=stop, cont_in=True, cont_out=not is_final),
+            grid=(nblk,),
+            in_specs=cont_in_specs,
+            out_specs=[epi_spec if is_final else cont_spec],
+            out_shape=[epi_shape if is_final else cont_shape],
+            scratch_shapes=ck_scratch(stop + 1),
+            compiler_params=cparams,
+            interpret=imode,
+        )
+        out = stage(seed2, cont_c, *tile_model.extra)[0]
+        if is_final:
+            ebundle = out
+        else:
+            cont = out
+
+    # Un-permute everything back to original lane order with ONE composed
+    # inverse gather of the bundled epilogue.
+    inv = jnp.argsort(perm_total).astype(jnp.int32)
+    eflat = jnp.take(ebundle.reshape(C2, n_pad), inv, axis=1)
+
+    def erow(nm):
+        return eflat[EIDX[nm]][:total].reshape(B, n)
+
+    def etiles(nm):
+        return eflat[EIDX[nm]:EIDX[nm] + D].T[:total].reshape(B, n, D)
+
     stats = {
-        "logp0": from_flat(lp0),
-        "logp_prop": from_flat(lp),
-        "accept_stat": from_flat(astat),
-        "depth": from_flat(depth),
-        "leapfrogs": from_flat(leaps),
-        # Fused-epilogue outputs: dh = H(selected) - H(start) BEFORE any
-        # accept-reject (the weight increment of the forwards-L-kernel
-        # non-tempered path); ke0 = kinetic energy of the start momentum
-        # (recovers q(r0) up to the mass-matrix constant); moved = 1.0 iff
-        # the particle changed in every dimension (acceptance-rate
-        # numerator, post accept-reject when acc_rej).
-        "delta_h": from_flat(dh),
-        "ke0": from_flat(ke0),
-        "moved": from_flat(moved),
+        "logp0": erow("logp0"),
+        "logp_prop": erow("lp"),
+        "accept_stat": erow("astat"),
+        "depth": erow("depth"),
+        "leapfrogs": erow("leaf"),
+        "delta_h": erow("dh"),
+        "ke0": erow("ke0"),
+        "moved": erow("moved"),
     }
-    return from_tiles(x_new_t), from_tiles(r_new_t), stats
+    return etiles("x"), etiles("r"), stats
 
 
 def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool,
-                    draw_momentum: bool = False, acc_rej: bool = False):
+                    draw_momentum: bool = False, acc_rej: bool = False,
+                    compaction=()):
     """custom_vmap wrapper: jax.vmap over (x, [r,] seed, step_size, phi,
     inv_mass) lowers to ONE batched kernel launch over the flattened
     (B*N)-particle axis — B independent SMC runs (e.g. Monte-Carlo replicas)
@@ -578,6 +901,7 @@ def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool,
                 tile_model, x[None], None, seed.reshape(1),
                 step_size.reshape(1), phi.reshape(1), inv_mass[None],
                 max_depth, interpret, draw_momentum=True, acc_rej=acc_rej,
+                compaction=compaction,
             )
             return x1[0], r1[0], {k: v[0] for k, v in stats.items()}
 
@@ -590,6 +914,7 @@ def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool,
                 bcast(x, xb), None, bcast(seed, sb),
                 bcast(step_size, eb), bcast(phi, pb), bcast(inv_mass, mb),
                 max_depth, interpret, draw_momentum=True, acc_rej=acc_rej,
+                compaction=compaction,
             )
             out_batched = (True, True, {k: True for k in stats})
             return (x1, r1, stats), out_batched
@@ -601,7 +926,7 @@ def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool,
         x1, r1, stats = _nuts_pallas_batched(
             tile_model, x[None], r[None], seed.reshape(1),
             step_size.reshape(1), phi.reshape(1), inv_mass[None],
-            max_depth, interpret, acc_rej=acc_rej,
+            max_depth, interpret, acc_rej=acc_rej, compaction=compaction,
         )
         return x1[0], r1[0], {k: v[0] for k, v in stats.items()}
 
@@ -613,7 +938,7 @@ def _make_vmappable(tile_model: TileModel, max_depth: int, interpret: bool,
             tile_model,
             bcast(x, xb), bcast(r, rb), bcast(seed, sb),
             bcast(step_size, eb), bcast(phi, pb), bcast(inv_mass, mb),
-            max_depth, interpret, acc_rej=acc_rej,
+            max_depth, interpret, acc_rej=acc_rej, compaction=compaction,
         )
         out_batched = (True, True, {k: True for k in stats})
         return (x1, r1, stats), out_batched
@@ -631,7 +956,7 @@ _VMAPPABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
                       inv_mass=None, max_depth=MAX_TREE_DEPTH,
-                      interpret=False):
+                      interpret=False, compaction=()):
     """Run the fused NUTS kernel over (N, D) particles.
 
     Returns (x_new, r_new, stats) mirroring ops/nuts.nuts_batch — stats hold
@@ -653,7 +978,8 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
     runs are therefore statistical, like every other PRNG cross-check here.
     """
     D = tile_model.dim
-    fn = _cached_vmappable(tile_model, max_depth, interpret)
+    fn = _cached_vmappable(tile_model, max_depth, interpret,
+                           compaction=compaction)
     if inv_mass is None:
         inv_mass = jnp.ones((D,), jnp.float32)
     return fn(
@@ -666,17 +992,20 @@ def nuts_batch_pallas(tile_model: TileModel, x, r, seed, step_size, phi=1.0,
 
 
 def _cached_vmappable(tile_model, max_depth, interpret,
-                      draw_momentum=False, acc_rej=False):
+                      draw_momentum=False, acc_rej=False, compaction=()):
     per_model = _VMAPPABLE_CACHE.get(tile_model)
     if per_model is None:
         per_model = {}
         _VMAPPABLE_CACHE[tile_model] = per_model
-    key = (max_depth, bool(interpret), bool(draw_momentum), bool(acc_rej))
+    compaction = tuple(compaction or ())
+    key = (max_depth, bool(interpret), bool(draw_momentum), bool(acc_rej),
+           compaction)
     fn = per_model.get(key)
     if fn is None:
         fn = _make_vmappable(
             tile_model, max_depth, interpret,
             draw_momentum=draw_momentum, acc_rej=acc_rej,
+            compaction=compaction,
         )
         per_model[key] = fn
     return fn
@@ -685,7 +1014,7 @@ def _cached_vmappable(tile_model, max_depth, interpret,
 def nuts_batch_pallas_fused(tile_model: TileModel, x, seed, step_size,
                             phi=1.0, inv_mass=None,
                             max_depth=MAX_TREE_DEPTH, acc_rej=False,
-                            interpret=False):
+                            interpret=False, compaction=()):
     """Fused-epilogue variant of `nuts_batch_pallas` (VERDICT r3 #1): the
     momentum draw happens IN-KERNEL (r0 ~ N(0, diag(1/inv_mass)) via the TPU
     PRNG, so there is no r argument), the selected-vs-start Hamiltonian
@@ -707,7 +1036,7 @@ def nuts_batch_pallas_fused(tile_model: TileModel, x, seed, step_size,
     D = tile_model.dim
     fn = _cached_vmappable(
         tile_model, max_depth, interpret, draw_momentum=True,
-        acc_rej=acc_rej,
+        acc_rej=acc_rej, compaction=compaction,
     )
     if inv_mass is None:
         inv_mass = jnp.ones((D,), jnp.float32)
@@ -805,8 +1134,13 @@ def tile_model_from_logp(logp_fn, dim, extra=()) -> TileModel:
             return logp, vjp_fn(jnp.ones_like(logp))[0]
 
         # Simplifying re-trace (same pass as the forward adapter): CSE +
-        # lazy-coefficient algebra over the mechanically-generated VJP.
-        logp, grads = _simplify_call(value_and_grad, theta, phi_t)
+        # lazy-coefficient algebra over the mechanically-generated VJP,
+        # then ASAP depth scheduling (_schedule_call) to interleave
+        # independent chains for Mosaic's bounded scheduling window.
+        logp, grads = _schedule_call(
+            lambda th, pt: _simplify_call(value_and_grad, th, pt),
+            theta, phi_t,
+        )
         return logp, [grads[d] for d in range(dim)]
 
     return TileModel(
@@ -1193,6 +1527,37 @@ def _simplify_call(fn, *args):
                 if cj is not None and hasattr(cj, "jaxpr"):
                     inner = cj
                     break
+        # Generic CSE over pure pass-through primitives (abs, max, select,
+        # exp, log1p, and small call-like wrappers): without this, the
+        # first non-algebraic op in a chain breaks the structural keys and
+        # every op downstream of it duplicates across the forward adapter's
+        # D re-traced passes (measured on a D=16 IRT recurrence: the whole
+        # log-sigmoid chain emitted once per pass). Call-likes key on the
+        # printed inner jaxpr — identical re-traces of the same helper
+        # print identically; large inners skip the memo.
+        ck = None
+        if not eqn.effects:
+            try:
+                if inner is not None:
+                    pdesc = (
+                        str(inner.jaxpr)
+                        if len(inner.jaxpr.eqns) <= 64 else None
+                    )
+                else:
+                    pdesc = tuple(
+                        sorted((k, repr(v)) for k, v in eqn.params.items())
+                    )
+                if pdesc is not None:
+                    ck = (name, tuple(_skey(v) for v in ins), pdesc)
+                    hash(ck)
+            except Exception:
+                ck = None
+        if ck is not None:
+            hit = memo.get(ck)
+            if hit is not None:
+                for ov, res in zip(eqn.outvars, hit):
+                    env[id(ov)] = res
+                continue
         if inner is not None:
             results = jax.core.eval_jaxpr(
                 inner.jaxpr, inner.consts, *bind_ins
@@ -1201,12 +1566,65 @@ def _simplify_call(fn, *args):
             results = eqn.primitive.bind(*bind_ins, **eqn.params)
         if not eqn.primitive.multiple_results:
             results = [results]
+        if ck is not None:
+            memo[ck] = list(results)
         for ov, res in zip(eqn.outvars, results):
             env[id(ov)] = res
 
     out_flat = [
         conc(read(v), getattr(v, "aval", None)) for v in jaxpr.outvars
     ]
+    _, out_tree = tree_flatten(out_shape)
+    return tree_unflatten(out_tree, out_flat)
+
+
+def _schedule_call(fn, *args):
+    """Re-emit `fn` with its (effect-free) equations stably reordered by
+    dataflow depth — ASAP list scheduling (VERDICT r4 #4).
+
+    Why: the Stan frontend traces a model body in PROGRAM order — the whole
+    T-step recurrence first, then the 200-element lpdf accumulation chain
+    that consumes the stored errors, then each tangent pass's chains. The
+    hand kernels interleave those chains step-by-step instead, and Mosaic's
+    list scheduler works within a bounded lookahead window, so the
+    trace-ordered form leaves the VPU idle on chain hazards that the
+    interleaved form hides (measured: frontend-compiled arma 1.36x the hand
+    kernel at IDENTICAL op counts, 3962 vs 4060). Sorting equations stably
+    by depth = 1 + max(operand depths) is topologically valid (a consumer
+    is always strictly deeper than its producer; equal-depth ops cannot
+    depend on each other) and reconstructs exactly the interleaved
+    emission: step t's error, its squared-residual accumulation, and its
+    tangent updates all sit at adjacent depths. Skipped entirely if any
+    equation carries effects."""
+    from jax.tree_util import tree_flatten, tree_unflatten
+
+    closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*args)
+    jaxpr = closed.jaxpr
+    if any(e.effects for e in jaxpr.eqns):
+        flat_args, _ = tree_flatten(args)
+        out_flat = jax.core.eval_jaxpr(jaxpr, closed.consts, *flat_args)
+        _, out_tree = tree_flatten(out_shape)
+        return tree_unflatten(out_tree, out_flat)
+    depth = {}
+    for v in list(jaxpr.invars) + list(jaxpr.constvars):
+        depth[id(v)] = 0
+    keyed = []
+    for i, e in enumerate(jaxpr.eqns):
+        d = 1 + max(
+            [
+                depth.get(id(v), 0)
+                for v in e.invars
+                if not isinstance(v, jax.extend.core.Literal)
+            ]
+            or [0]
+        )
+        for ov in e.outvars:
+            depth[id(ov)] = d
+        keyed.append((d, i, e))
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    jaxpr = jaxpr.replace(eqns=[e for _, _, e in keyed])
+    flat_args, _ = tree_flatten(args)
+    out_flat = jax.core.eval_jaxpr(jaxpr, closed.consts, *flat_args)
     _, out_tree = tree_flatten(out_shape)
     return tree_unflatten(out_tree, out_flat)
 
@@ -1272,7 +1690,12 @@ def tile_model_from_logp_fwd(logp_seq_fn, dim, extra=()) -> TileModel:
         # (constant-tile propagation incl. the jvp `ones` seed, lazy-neg
         # absorption into sub/add, x*1/x+0) strip the mechanical-jvp
         # overhead the hand kernels never emit (see _simplify_call).
-        return _simplify_call(all_passes, x_tiles, phi_t)
+        # Then ASAP depth scheduling interleaves the recurrence with its
+        # consumers and tangent chains (see _schedule_call).
+        return _schedule_call(
+            lambda xt, pt: _simplify_call(all_passes, xt, pt),
+            x_tiles, phi_t,
+        )
 
     return TileModel(
         dim=dim, extra=tuple(extra), tile_fn=tile_fn, autodiff="forward"
@@ -1385,7 +1808,12 @@ def prmwcd_tile_model(y, X, q) -> TileModel:
         grads.append(gp_g)
         return logp, grads
 
-    return TileModel(dim=M + 1, extra=(), tile_fn=tile_fn)
+    # Compaction hint (7, 8, 9): at the parity config PRMwCD trees are deep
+    # and near-uniform (mean depth 8.2, hist peaked 7-9 — compaction_sim_
+    # prmwcd.json), so the paying boundaries are the late ones: measured
+    # 2.61x fewer block-leaves at these splits (est. ~1.4M p-i/s from 653k).
+    return TileModel(dim=M + 1, extra=(), tile_fn=tile_fn,
+                     compaction_hint=(7, 8, 9))
 
 
 def arma_tile_model_fwd(y) -> TileModel:
@@ -1502,4 +1930,9 @@ def arma_tile_model(y) -> TileModel:
         ]
         return logp, grads
 
-    return TileModel(dim=4, extra=(), tile_fn=tile_fn)
+    # Compaction hint (4,): arma equilibrium trees are shallow-skewed (mean
+    # depth 3.7; only ~16% of lanes survive doubling 4 —
+    # compaction_sim_arma.json), so one boundary after depth 4 removes
+    # 2.2x of the 4.3x lockstep waste while paying a single ~90 us glue.
+    return TileModel(dim=4, extra=(), tile_fn=tile_fn,
+                     compaction_hint=(4,))

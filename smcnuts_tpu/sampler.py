@@ -266,17 +266,28 @@ def _make_step(model: Model, cfg: SMCConfig, momentum_proposal, mesh=None):
                 "logp0", "logp_prop", "accept_stat", "depth",
                 "leapfrogs", "delta_h", "ke0", "moved",
             )
+            # Lane-compaction splits (VERDICT r4 #1): "auto" takes the tile
+            # model's measured hint; splits >= max_tree_depth are pruned
+            # inside the dispatch, so shallow-tree configs stay on the
+            # single-kernel path.
+            if cfg.pallas_compaction == "auto":
+                splits = tuple(
+                    getattr(model.tile_model, "compaction_hint", ()) or ()
+                )
+            else:
+                splits = tuple(cfg.pallas_compaction or ())
             if fused:
                 base_kernel = lambda xx, sd: nuts_batch_pallas_fused(
                     model.tile_model, xx, sd, carry.step_size, phi,
                     inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
                     acc_rej=cfg.is_asymptotic, interpret=interpret,
+                    compaction=splits,
                 )
             else:
                 base_kernel = lambda xx, rr, sd: nuts_batch_pallas(
                     model.tile_model, xx, rr, sd, carry.step_size, phi,
                     inv_mass=carry.inv_mass, max_depth=cfg.max_tree_depth,
-                    interpret=interpret,
+                    interpret=interpret, compaction=splits,
                 )
             kernel_call = base_kernel
             if mesh is not None:
