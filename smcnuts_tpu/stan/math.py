@@ -19,6 +19,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Python float, not a jnp scalar: module-level jnp values become captured
 # constants in any Pallas kernel that traces these densities
@@ -26,10 +27,36 @@ import jax.numpy as jnp
 LOG_SQRT_2PI = float(0.5 * math.log(2.0 * math.pi))
 
 
+def _concrete_scalar(v):
+    """float(v) when v is a non-traced scalar (Python number, np scalar,
+    concrete 0-d array), else None — lets densities resolve data-dependent
+    branches at trace time and fold data elements as immediates on the
+    scalarize/tile path."""
+    if isinstance(v, jax.core.Tracer):
+        return None
+    if np.ndim(v) != 0:
+        return None
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def _lp(elementwise):
     """Wrap an elementwise log-density into Stan's summed-container form."""
 
     def f(*args):
+        if all(np.ndim(a) == 0 for a in args):
+            # All-scalar fast path: no broadcast_arrays — that would STAGE
+            # concrete arguments onto the trace (broadcast_in_dim of a
+            # constant is a tracer), defeating the trace-time branch
+            # resolution concrete data elements enable (e.g.
+            # _bernoulli_logit picking one branch per observation).
+            vals = []
+            for a in args:
+                c = _concrete_scalar(a)
+                vals.append(c if c is not None else jnp.asarray(a, float))
+            return elementwise(*vals)
         return jnp.sum(elementwise(*jnp.broadcast_arrays(
             *(jnp.asarray(a, dtype=float) for a in args)
         )))
@@ -225,10 +252,27 @@ def _bernoulli(y, p):
     return jnp.where(y > 0.5, jnp.log(p), jnp.log1p(-p))
 
 
+def _log_sigmoid_stable(z):
+    """log sigmoid(z) = (z - |z|)/2 - log1p(exp(-|z|)) — exact and stable
+    for all z, in RAW elementwise primitives. jax.nn.log_sigmoid is
+    deliberately avoided: it traces to a custom_jvp-wrapped call that (a)
+    passes opaquely through the tile simplifier's cross-pass CSE (the
+    forward-mode adapter then keeps D duplicated primal chains) and (b)
+    has batched-vjp lowerings Mosaic cannot legalize inside Pallas tile
+    bodies (see compiler._bounded)."""
+    a = jnp.abs(z)
+    return 0.5 * (z - a) - jnp.log1p(jnp.exp(-a))
+
+
 def _bernoulli_logit(y, alpha):
-    # log sigmoid(alpha) if y==1 else log sigmoid(-alpha)
-    return jnp.where(y > 0.5, jax.nn.log_sigmoid(alpha),
-                     jax.nn.log_sigmoid(-alpha))
+    # log sigmoid(alpha) if y==1 else log sigmoid(-alpha). With concrete y
+    # (the scalarize/tile path reads data elements as scalars) the branch
+    # resolves at trace time — no select, only the taken branch's ops.
+    yv = _concrete_scalar(y)
+    if yv is not None:
+        return _log_sigmoid_stable(alpha if yv > 0.5 else -alpha)
+    return jnp.where(y > 0.5, _log_sigmoid_stable(alpha),
+                     _log_sigmoid_stable(-alpha))
 
 
 def _binomial(y, n, p):
@@ -1114,8 +1158,18 @@ FUNCTIONS = {
     "log1m_exp": lambda x: jnp.log(-jnp.expm1(_as_arr(x))),
     "log_inv_logit": jax.nn.log_sigmoid,
     "log1m_inv_logit": lambda x: jax.nn.log_sigmoid(-_as_arr(x)),
-    "log2": jnp.log2,
-    "log10": jnp.log10,
+    # Stan overloads log2/log10 by arity: nullary = the constant ln 2 /
+    # ln 10 (Stan functions reference "mathematical constants").
+    "log2": lambda *a: jnp.log2(*a) if a else math.log(2.0),
+    "log10": lambda *a: jnp.log10(*a) if a else math.log(10.0),
+    # Nullary constants (Stan functions reference 3.1-3.2).
+    "pi": lambda: math.pi,
+    "e": lambda: math.e,
+    "sqrt2": lambda: math.sqrt(2.0),
+    "positive_infinity": lambda: math.inf,
+    "negative_infinity": lambda: -math.inf,
+    "not_a_number": lambda: math.nan,
+    "machine_precision": lambda: float(jnp.finfo(jnp.float32).eps),
     # Container slicing (static sizes, as everywhere in this frontend).
     "head": _orient_preserving(lambda v, n: v[: int(n)]),
     # explicit start index: [-0:] would be the WHOLE vector for n=0

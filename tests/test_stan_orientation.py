@@ -372,6 +372,51 @@ def test_integrate_1d():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_integrate_1d_infinite_bounds():
+    """VERDICT r4 #8: semi-infinite and doubly-infinite integrate_1d bounds
+    via the Stan-math variable changes (integrate_1d.hpp), on the fixed
+    Gauss-Legendre rule. Exact values: int_0^inf exp(-lam x) = 1/lam;
+    int_-inf^0 exp(x) = 1; int_-inf^inf N(x|0,1) = 1."""
+    src = """
+    functions {
+      real decay(real x, real xc, array[] real theta,
+                 array[] real x_r, array[] int x_i) {
+        return exp(-theta[1] * x);
+      }
+      real rising(real x, real xc, array[] real theta,
+                  array[] real x_r, array[] int x_i) {
+        return exp(x);
+      }
+      real gauss(real x, real xc, array[] real theta,
+                 array[] real x_r, array[] int x_i) {
+        return exp(-0.5 * square(x - theta[1])) / sqrt(2 * pi());
+      }
+    }
+    data { real phi; }
+    parameters { real<lower=0> lam; }
+    model {
+      real I1 = integrate_1d(decay, 0.0, positive_infinity(),
+                             {lam}, {0.0}, {0});
+      real I2 = integrate_1d(rising, negative_infinity(), 0.0,
+                             {lam}, {0.0}, {0});
+      real I3 = integrate_1d(gauss, negative_infinity(),
+                             positive_infinity(), {lam}, {0.0}, {0});
+      target += -0.5 * square(I1 * lam - 1) - 0.5 * square(I2 - 1)
+                - 0.5 * square(I3 - 1);
+      lam ~ normal(1, 1);
+    }
+    """
+    m = compile_stan_program(src, {}, name="int1d_inf")
+    u = 0.3
+    lam = np.exp(u)
+    # all three penalty terms vanish at the exact integrals
+    want = lp_normal(lam, 1.0) + u
+    got = float(m.logp(jnp.asarray([u], jnp.float32), 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    g = jax.grad(lambda t: m.logp(t, 1.0))(jnp.asarray([u], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_algebra_solver_newton():
     src = """
     functions {
