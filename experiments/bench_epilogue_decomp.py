@@ -13,6 +13,14 @@ difference between consecutive rungs is that phase's marginal cost:
   full          run_smc body (adds key splits, acceptance metric,
                 diagnostics stacking, scan outputs)
 
+Round-5 protocol fix (VERDICT r4 #7): default K=300 / repeats=6 — the
+round-4 K=100/repeats=3 rung deltas sign-flipped because the K-vs-4K
+marginal inherits the ~+-5 ms relay round-trip jitter (per-iter noise
+~+-17 us at K=100 vs rung deltas of 10-30 us; at K=300 the noise floor is
+~+-5.5 us per iteration). run_smc runs with compaction DISABLED here so
+the ladder base matches the kernel rung (at this single-run shape the
+dispatch prunes compaction anyway: N=512 is one 1024-lane block).
+
 Usage: python experiments/bench_epilogue_decomp.py --model arma -N 512 -K 100
 """
 
@@ -37,7 +45,7 @@ from smcnuts_tpu.ops.weights import normalise_weights
 from smcnuts_tpu.utils.timing import fresh_key, materialize
 
 
-def _timed_marginal(make_chain, x0, iters, repeats=3):
+def _timed_marginal(make_chain, x0, iters, repeats=6):
     def timed(n_iters):
         f = jax.jit(lambda k, x: make_chain(k, x, n_iters))
         materialize(f(fresh_key(), x0))  # compile
@@ -54,7 +62,8 @@ def _timed_marginal(make_chain, x0, iters, repeats=3):
     return (t4 - t1) / (3 * iters) * 1e6
 
 
-def measure(model_name, n=512, iters=100, max_depth=10, step=0.01):
+def measure(model_name, n=512, iters=300, max_depth=10, step=0.01,
+            repeats=6):
     model = get_model(model_name)
     tm = model.tile_model
     assert tm is not None
@@ -173,7 +182,7 @@ def measure(model_name, n=512, iters=100, max_depth=10, step=0.01):
     rows = []
     prev = None
     for name, mk in rungs.items():
-        us = _timed_marginal(mk, x0, iters)
+        us = _timed_marginal(mk, x0, iters, repeats)
         rows.append({
             "rung": name,
             "marginal_us_per_iter": round(us, 2),
@@ -187,10 +196,11 @@ def measure(model_name, n=512, iters=100, max_depth=10, step=0.01):
         cfg = SMCConfig(
             n_particles=n, n_iterations=n_iters, step_size=step,
             lkernel="forwardsLKernel", save_history=False,
+            pallas_compaction=(),
         )
         return run_smc(model, cfg, key)
 
-    us = _timed_marginal(full, x0, iters)
+    us = _timed_marginal(full, x0, iters, repeats)
     rows.append({
         "rung": "full_run_smc",
         "marginal_us_per_iter": round(us, 2),
@@ -204,13 +214,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="arma")
     p.add_argument("-N", "--particles", type=int, default=512)
-    p.add_argument("-K", "--iterations", type=int, default=100)
+    p.add_argument("-K", "--iterations", type=int, default=300)
+    p.add_argument("--repeats", type=int, default=6)
     p.add_argument("--max-tree-depth", type=int, default=10)
     p.add_argument("--step-size", type=float, default=0.01)
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
     rows = measure(args.model, args.particles, args.iterations,
-                   args.max_tree_depth, args.step_size)
+                   args.max_tree_depth, args.step_size, args.repeats)
     out = {"model": args.model, "N": args.particles, "K": args.iterations,
            "rows": rows}
     print(json.dumps(out))
