@@ -50,6 +50,14 @@ def gaussian_lkernel_logpdf(r_new, x_new):
     c_xr = cov_X[D:, :D]
     c_xx = cov_X[D:, D:]
 
+    # Under a particle mesh the (N, 2D) reductions above shard into psums,
+    # but everything from here down — pinv, the (D, D) products, the
+    # Cholesky — is REPLICATED per shard. That is the right trade for the
+    # small D this path serves (D <= 13 in the shipped models: ~2D^3 flops
+    # per device vs an extra round of collectives); for a wide-D model it
+    # becomes the per-iteration scaling wall and would need a distributed
+    # formulation (psum'd normal equations + a single-device solve
+    # broadcast back) before this strategy is used at large D on a mesh.
     c_xx_pinv = jnp.linalg.pinv(c_xx)
     gain = c_rx @ c_xx_pinv  # (D, D)
     cov = c_rr - gain @ c_xr + RIDGE * jnp.eye(D, dtype=dtype)

@@ -45,6 +45,7 @@ def main(argv=None):
     p.add_argument("--step-size", type=float, default=0.01)
     p.add_argument("--lkernel", default="forwardsLKernel")
     p.add_argument("--tempering", action="store_true")
+    p.add_argument("--max-tree-depth", type=int, default=10)
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
@@ -64,6 +65,7 @@ def main(argv=None):
         n_particles=args.particles, n_iterations=args.iterations,
         step_size=args.step_size, lkernel=args.lkernel,
         tempering=args.tempering, save_history=False,
+        max_tree_depth=args.max_tree_depth,
     )
     mesh = particle_mesh()
     res = jax.jit(lambda k: run_smc(model, cfg, k, mesh=mesh))(jax.random.key(0))

