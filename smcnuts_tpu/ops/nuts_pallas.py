@@ -709,10 +709,15 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
     splits = tuple(
         sorted({int(s) for s in (compaction or ()) if 0 < int(s) < max_depth})
     )
-    if nblk == 1:
-        # Compaction packs lanes ACROSS blocks; within a single block the
-        # permutation changes nothing about the lockstep walk — pure glue
-        # overhead. Fall through to the single-kernel dispatch.
+    if nblk == 1 or nblk > 128:
+        # nblk == 1: compaction packs lanes ACROSS blocks; within a single
+        # block the permutation changes nothing about the lockstep walk —
+        # pure glue overhead. nblk > 128 (N > 131,072): the glue's argsort
+        # + gathers scale with N while the recoverable waste per particle
+        # is constant, and the measured crossover is between 128 and 256
+        # blocks (scaling.json round 5: compaction +17-22% at N=32k-131k,
+        # -20% at N=262k). Fall through to the single-kernel dispatch;
+        # large-N runs keep the uncompacted plateau.
         splits = ()
 
     def from_tiles(a):

@@ -1822,9 +1822,16 @@ def test_reject_statement_semantics():
     assert np.isfinite(float(m.logp(jnp.asarray([0.5], jnp.float32), 1.0)))
 
 
-def test_tile_autodiff_wide_d_recurrence_avoids_forward():
-    """Forward mode is D passes: a recurrence model with MANY parameters
-    (latent state-space shape) must not pick it under auto."""
+def test_tile_autodiff_wide_d_recurrence_picks_forward():
+    """Round-5 policy flip (VERDICT r4 #6): a wide-D long-recurrence model
+    now picks FORWARD under auto (up to D=128). The round-4 premise —
+    forward is D full passes, so wide D must avoid it — no longer holds:
+    the simplifier's cross-pass CSE folds the D re-traced primal chains to
+    one and constrain_seq keeps per-coordinate tangent cones sparse, while
+    reverse mode's O(T) VJP residuals cannot compile past ~40 recurrence
+    steps on Mosaic at all (this model carries T=60). Each h_std[t] has a
+    suffix cone here (dense-ish), so forward is quadratic in T — feasible
+    at this size, where reverse is infeasible on the Pallas path."""
     T = 60
     src = f"""
     data {{ vector[{T}] y; real phi; }}
@@ -1842,8 +1849,8 @@ def test_tile_autodiff_wide_d_recurrence_avoids_forward():
     y = np.random.default_rng(0).normal(size=T)
     m = compile_stan_program(src, {"y": y.tolist()}, name="sv", tile=True)
     assert m.dim == T + 1
-    assert m.tile_model.autodiff == "reverse"
-    # The XLA path (the right backend for this shape) traces and grads fine.
+    assert m.tile_model.autodiff == "forward"
+    # The XLA path traces and grads fine regardless of the tile strategy.
     th = jnp.asarray(np.random.default_rng(1).normal(size=m.dim) * 0.2,
                      jnp.float32)
     g = jax.grad(lambda t: m.logp(t, 0.6))(th)
