@@ -122,6 +122,15 @@ def main(argv=None):
         args.iters, args.repeats,
     )
 
+    # axis-1 scatter in the same layout: y[:, perm] = x — the sortless
+    # compaction glue (cumsum destination formula) scatters forward and
+    # gathers back with the SAME index vector, no argsort/inverse needed.
+    results["scatter_cols"] = marginal(
+        lambda x, k: jnp.zeros_like(x).at[:, perm].set(x) + 1e-7,
+        lambda key: jax.random.normal(key, (C, n), jnp.float32),
+        args.iters, args.repeats,
+    )
+
     # argsort of a 0/1 finished flag (massive ties — the actual compaction
     # key), plus its inverse permutation.
     def flagsort_body(v, k):
