@@ -33,6 +33,7 @@ recurrences of ops/arma_fused.py inlined per leaf.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable, Sequence
 
@@ -709,7 +710,8 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
     splits = tuple(
         sorted({int(s) for s in (compaction or ()) if 0 < int(s) < max_depth})
     )
-    if nblk == 1 or nblk > 128:
+    max_blocks = int(os.environ.get("SMCNUTS_COMPACTION_MAX_BLOCKS", "128"))
+    if nblk == 1 or nblk > max_blocks:
         # nblk == 1: compaction packs lanes ACROSS blocks; within a single
         # block the permutation changes nothing about the lockstep walk —
         # pure glue overhead. nblk > 128 (N > 131,072): the glue's argsort
@@ -819,23 +821,55 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
         cont_spec,
     ] + extra_specs
 
-    perm_total = None
+    glue = os.environ.get("SMCNUTS_COMPACTION_GLUE", "sort")
+    lane_idx = jnp.arange(n_pad, dtype=jnp.int32)
+    dest_total = None
     ebundle = None
     for j, s in enumerate(splits):
         start = s + 1
         is_final = j + 1 == len(splits)
         stop = max_depth if is_final else splits[j + 1]
         flat = cont.reshape(C, n_pad)
-        # Stable sort of the finished flag: survivors (0.0) pack to the
-        # front in original order, finished + padding lanes to the back.
-        perm = jnp.argsort(flat[CIDX["stopf"]], stable=True).astype(
-            jnp.int32
-        )
-        perm_total = (
-            perm if perm_total is None else jnp.take(perm_total, perm)
-        )
-        cont_c = jnp.take(flat, perm, axis=1).reshape(
-            C, nblk, _SUBLANES, _LANES
+        # Pack survivors (stopf 0.0) to the front in original order,
+        # finished + padding lanes to the back in original order. Two
+        # glues realize the SAME permutation (bitwise-equal outputs, both
+        # covered by tests/test_compaction.py):
+        # - "sort" (default): stable argsort + axis-1 gather forward; the
+        #   composed dest map (inverse perm) un-permutes the epilogue.
+        # - "scatter": destination via the prefix-sum formula (one O(n)
+        #   cumsum) + one axis-1 scatter forward — built on the hypothesis
+        #   that XLA's bitonic argsort was the large-N wall. MEASURED
+        #   NEGATIVE (round 5): at the bench shape it is jitter-equal
+        #   (613 vs 603 us/iter) and at N=1M the axis-1 scatter itself is
+        #   catastrophic (4.3M vs 13.3M p-i/s gated) — the scaling wall is
+        #   the lane-shuffle data movement, not the sort. Kept behind
+        #   SMCNUTS_COMPACTION_GLUE for re-measurement on future
+        #   toolchains; the nblk cap above is the real mitigation.
+        if glue == "sort":
+            perm = jnp.argsort(flat[CIDX["stopf"]], stable=True).astype(
+                jnp.int32
+            )
+            # dest of lane i is the position of i in perm == inverse perm;
+            # compose in dest form so both glues share the final gather.
+            dest = jnp.argsort(perm).astype(jnp.int32)
+            cont_c = jnp.take(flat, perm, axis=1).reshape(
+                C, nblk, _SUBLANES, _LANES
+            )
+        else:
+            active = flat[CIDX["stopf"]] < 0.5
+            s_cum = jnp.cumsum(active.astype(jnp.int32))
+            n_act = s_cum[-1]
+            dest = jnp.where(
+                active, s_cum - 1, n_act + lane_idx - s_cum
+            ).astype(jnp.int32)
+            cont_c = (
+                jnp.zeros_like(flat)
+                .at[:, dest]
+                .set(flat, unique_indices=True, mode="promise_in_bounds")
+                .reshape(C, nblk, _SUBLANES, _LANES)
+            )
+        dest_total = (
+            dest if dest_total is None else jnp.take(dest, dest_total)
         )
         stage = pl.pallas_call(
             partial(_nuts_kernel, **common, start_depth=start,
@@ -855,9 +889,8 @@ def _nuts_pallas_batched(tile_model: TileModel, x, r, seed, step_size, phi,
             cont = out
 
     # Un-permute everything back to original lane order with ONE composed
-    # inverse gather of the bundled epilogue.
-    inv = jnp.argsort(perm_total).astype(jnp.int32)
-    eflat = jnp.take(ebundle.reshape(C2, n_pad), inv, axis=1)
+    # gather of the bundled epilogue: lane i's result sits at dest_total[i].
+    eflat = jnp.take(ebundle.reshape(C2, n_pad), dest_total, axis=1)
 
     def erow(nm):
         return eflat[EIDX[nm]][:total].reshape(B, n)
