@@ -75,6 +75,10 @@ class TileModel:
     # compaction_sim.py); () = no compaction (safe for any model — the
     # single-kernel dispatch).
     compaction_hint: tuple = ()
+    # Split depths when step-size adaptation is ON (trees shrink to the
+    # acceptance target, so the paying boundaries move earlier); None
+    # falls back to compaction_hint.
+    compaction_hint_adapted: tuple | None = None
 
 
 def _popcount_scalar(v, bits=13):
@@ -1848,10 +1852,14 @@ def prmwcd_tile_model(y, X, q) -> TileModel:
 
     # Compaction hint (7, 8, 9): at the parity config PRMwCD trees are deep
     # and near-uniform (mean depth 8.2, hist peaked 7-9 — compaction_sim_
-    # prmwcd.json), so the paying boundaries are the late ones: measured
-    # 2.61x fewer block-leaves at these splits (est. ~1.4M p-i/s from 653k).
+    # prmwcd.json), so the paying boundaries are the late ones (measured
+    # 655k -> 1.55M p-i/s). Under step-size adaptation trees shrink ~5x
+    # (depth ~5-6) and those boundaries never fire — the adapted hint
+    # (4, 5, 6) measured 2.69M -> 5.72M p-i/s at target_accept=0.5
+    # (vs 2.51M with the deep hints).
     return TileModel(dim=M + 1, extra=(), tile_fn=tile_fn,
-                     compaction_hint=(7, 8, 9))
+                     compaction_hint=(7, 8, 9),
+                     compaction_hint_adapted=(4, 5, 6))
 
 
 def arma_tile_model_fwd(y) -> TileModel:
