@@ -15,6 +15,15 @@ shapes (13312 x C f32), the marginal device time of:
 Protocol: K-vs-4K marginal inside one lax.scan dispatch (utils/timing.py;
 the ~60 ms relay floor cancels), fresh os.urandom keys per dispatch.
 
+RELIABILITY CAVEAT (measured, round 5): chaining an index operation with a
+CONSTANT index vector lets XLA compose gather-of-gather at compile time —
+a later re-run of take_cols/scatter_cols reported 0.0 us because the scan
+body folded to an add. Readings of ~0 from this harness mean the op was
+optimized away, not that it is free; end-to-end A/B
+(experiments/bench_compaction.py) is the arbiter for glue decisions, and
+it contradicted this harness once already (the sortless scatter glue
+microbenched fine and measured 3x worse at N=1M end-to-end).
+
 Usage: python experiments/bench_gather.py -n 13312 -C 56 -K 200
 """
 
