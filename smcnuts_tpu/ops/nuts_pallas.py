@@ -1854,12 +1854,14 @@ def prmwcd_tile_model(y, X, q) -> TileModel:
     # and near-uniform (mean depth 8.2, hist peaked 7-9 — compaction_sim_
     # prmwcd.json), so the paying boundaries are the late ones (measured
     # 655k -> 1.55M p-i/s). Under step-size adaptation trees shrink ~5x
-    # (depth ~5-6) and those boundaries never fire — the adapted hint
-    # (4, 5, 6) measured 2.69M -> 5.72M p-i/s at target_accept=0.5
-    # (vs 2.51M with the deep hints).
+    # (measured mean depth 5.65, waste 4.15x at the adapted step) and
+    # those boundaries never fire — the adapted hint (5, 6) measured
+    # 2.69M -> 5.73M p-i/s at target_accept=0.5 (2.51M with the deep
+    # hints, 5.63M with (4,5,6), 4.60M with (6,) alone:
+    # compaction_prmwcd_adapted.json).
     return TileModel(dim=M + 1, extra=(), tile_fn=tile_fn,
                      compaction_hint=(7, 8, 9),
-                     compaction_hint_adapted=(4, 5, 6))
+                     compaction_hint_adapted=(5, 6))
 
 
 def arma_tile_model_fwd(y) -> TileModel:
