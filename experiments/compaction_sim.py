@@ -136,6 +136,10 @@ def main(argv=None):
     p.add_argument("--warm", type=int, default=20)
     p.add_argument("--step-size", type=float, default=0.01)
     p.add_argument("--max-tree-depth", type=int, default=10)
+    p.add_argument("--tag", default=None,
+                   help="output filename suffix (default: the model name); "
+                   "pass e.g. prmwcd_adapted when sweeping a non-default "
+                   "step so the parity-config capture is not overwritten")
     args = p.parse_args(argv)
 
     depth, leaps = record(
@@ -167,8 +171,9 @@ def main(argv=None):
         ),
         "schemes": {},
     }
+    tag = args.tag or args.model
     np.savez_compressed(
-        f"experiments/output/compaction_raw_{args.model}.npz",
+        f"experiments/output/compaction_raw_{tag}.npz",
         depth=depth.astype(np.int16), leaps=leaps.astype(np.int32),
     )
     best = None
@@ -190,7 +195,7 @@ def main(argv=None):
     out["best_scheme"] = "S" + "_".join(map(str, best[0]))
     print(json.dumps(out, indent=1))
     os.makedirs("experiments/output", exist_ok=True)
-    path = f"experiments/output/compaction_sim_{args.model}.json"
+    path = f"experiments/output/compaction_sim_{tag}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"# wrote {path}", file=sys.stderr)
